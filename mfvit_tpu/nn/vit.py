@@ -1,0 +1,178 @@
+"""ViT backbone (MoCo-v3 flavor), pure-functional, TPU-first.
+
+Reimplements the reference's external ``vits`` / ``vits_returnftrs`` modules
+(imported but not vendored — /root/reference/main_covid_...vitsmall.py:39,
+main_vit_covid_..._crossvit_....py:44; see SURVEY.md §2.7). Contract:
+
+- ``vit_small``: ViT-S/16 MoCo-v3 style — 224px, 16px patches (14x14=196
+  patches + CLS), width 384, depth 12, 12 heads, MLP ratio 4, fixed 2-D
+  sin-cos position embedding, optional ``stop_grad_conv1``.
+- ``apply(..., return_features=True)`` additionally returns all post-norm
+  tokens (B, 197, 384) — the ``features3D`` the fusion model consumes
+  (crossvit_..._sum.py:80-83,:128) — from the SAME forward pass, fixing the
+  reference's double forward per branch (SURVEY §3.4).
+
+TPU-native choices: NHWC image layout; the stride-16 patch conv is
+expressed as reshape + one large matmul (exactly equivalent math) so it
+lands on the MXU; compute dtype is caller-selected (bf16 by default) with
+fp32 LayerNorm/softmax/logits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.nn import init as initzr
+from mfvit_tpu.nn import posembed
+from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, mlp, mlp_init
+from mfvit_tpu.ops.attention import mhsa
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    name: str = "vit_small"
+    img_size: int = 224
+    patch: int = 16
+    dim: int = 384
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    learned_pos: bool = False  # MoCo-v3 uses fixed sincos; *_ori learns it
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+# Architectures accepted by the reference mains (-a flag; finetune :51-52).
+CONFIGS = {
+    "vit_small": ViTConfig("vit_small", dim=384, depth=12, heads=12),
+    "vit_base": ViTConfig("vit_base", dim=768, depth=12, heads=12),
+    # timm-original ViT-S (6 heads, learned pos embed) — 'vit_small_ori'
+    "vit_small_ori": ViTConfig("vit_small_ori", dim=384, depth=12, heads=6,
+                               learned_pos=True),
+    "vit_base_ori": ViTConfig("vit_base_ori", dim=768, depth=12, heads=12,
+                              learned_pos=True),
+}
+
+
+def get_config(name: str, img_size: int = 224) -> ViTConfig:
+    cfg = CONFIGS[name]
+    if img_size != cfg.img_size:
+        cfg = dataclasses.replace(cfg, img_size=img_size)
+    return cfg
+
+
+# ------------------------------------------------------------------- init
+
+def init(key, cfg: ViTConfig, num_classes: int = 0,
+         head_init_std: float = 0.01) -> Params:
+    """Build the fp32 parameter pytree.
+
+    Follows MoCo-v3 ViT init: xavier-uniform qkv and patch projection,
+    trunc-normal(0.02) elsewhere; classifier head N(0, 0.01) to match the
+    reference finetune head init (finetune main :290-296).
+    """
+    keys = jax.random.split(key, cfg.depth + 4)
+    patch_in = cfg.patch * cfg.patch * 3
+    p: Params = {
+        "patch": linear_init(keys[0], patch_in, cfg.dim, dist="xavier_uniform"),
+        "cls": initzr.trunc_normal(keys[1], (1, 1, cfg.dim), std=0.02),
+        "norm": layernorm_init(cfg.dim),
+        "blocks": [],
+    }
+    if cfg.learned_pos:
+        p["pos"] = initzr.trunc_normal(keys[2], (1, cfg.seq_len, cfg.dim), std=0.02)
+    for i in range(cfg.depth):
+        bk = jax.random.split(keys[3 + i], 4)
+        p["blocks"].append({
+            "norm1": layernorm_init(cfg.dim),
+            "qkv": linear_init(bk[0], cfg.dim, 3 * cfg.dim, dist="xavier_uniform"),
+            "proj": linear_init(bk[1], cfg.dim, cfg.dim),
+            "norm2": layernorm_init(cfg.dim),
+            "mlp": mlp_init(bk[2], cfg.dim, cfg.dim * cfg.mlp_ratio),
+        })
+    if num_classes > 0:
+        p["head"] = linear_init(keys[-1], cfg.dim, num_classes,
+                                dist="normal", std=head_init_std)
+    return p
+
+
+def head_init(key, cfg: ViTConfig, num_classes: int, std: float = 0.01) -> Params:
+    """Fresh classifier head (checkpoint surgery replaces `.head` — finetune
+    main :289-296)."""
+    return linear_init(key, cfg.dim, num_classes, dist="normal", std=std)
+
+
+# ------------------------------------------------------------------ apply
+
+def patchify(imgs: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, N, patch*patch*C), row-major patch order with
+    (ph, pw, c) feature order inside each patch."""
+    B, H, W, C = imgs.shape
+    gh, gw = H // patch, W // patch
+    x = imgs.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
+          compute_dtype=jnp.bfloat16, attn_backend: str | None = None,
+          stop_grad_conv1: bool = False, return_features: bool = False):
+    """Forward pass.
+
+    Returns logits (B, num_classes) fp32 if the params carry a head, else
+    the CLS embedding (B, dim). With ``return_features=True`` returns
+    ``(tokens, out)`` where tokens are ALL post-norm tokens (B, N+1, dim).
+    """
+    B = imgs.shape[0]
+    x = patchify(imgs.astype(compute_dtype), cfg.patch)
+    patch_p = params["patch"]
+    if stop_grad_conv1:
+        patch_p = jax.tree.map(jax.lax.stop_gradient, patch_p)
+    x = linear(patch_p, x)  # (B, N, dim)
+    cls = jnp.broadcast_to(params["cls"].astype(compute_dtype), (B, 1, cfg.dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    if cfg.learned_pos:
+        pos = params["pos"]
+    else:
+        pos = posembed.sincos_2d(cfg.grid, cfg.grid, cfg.dim)
+    x = (x.astype(jnp.float32) + pos).astype(compute_dtype)
+
+    scale = cfg.head_dim ** -0.5
+    for blk in params["blocks"]:
+        h = layernorm(blk["norm1"], x)
+        qkv = linear(blk["qkv"], h)  # (B, N, 3*dim)
+        qkv = qkv.reshape(B, cfg.seq_len, 3, cfg.heads, cfg.head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
+        attn = mhsa(qkv[0], qkv[1], qkv[2], scale=scale, backend=attn_backend)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, cfg.seq_len, cfg.dim)
+        x = x + linear(blk["proj"], attn)
+        x = x + mlp(blk["mlp"], layernorm(blk["norm2"], x))
+
+    tokens = layernorm(params["norm"], x)
+    cls_out = tokens[:, 0].astype(jnp.float32)
+    if "head" in params:
+        out = linear(params["head"], cls_out)  # fp32 logits
+    else:
+        out = cls_out
+    if return_features:
+        return tokens, out
+    return out

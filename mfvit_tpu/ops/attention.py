@@ -1,0 +1,155 @@
+"""Attention kernels.
+
+Two code paths, selected per-call or globally:
+
+- ``backend="xla"``: plain jnp einsum formulation. XLA fuses the softmax
+  chain but materializes the (B, H, N, N) score tensor in HBM between the
+  two matmuls.
+- ``backend="pallas"``: a fused single-pass TPU kernel. For the ViT-S
+  sequence length (197 tokens, padded to 256) the whole score tile fits in
+  VMEM, so no online-softmax blocking over keys is needed — one grid step
+  per (batch, head) computes softmax(QK^T * scale) @ V entirely on-chip,
+  eliminating the HBM round-trip of the score tensor. This is the
+  flash-attention special case where the KV block covers the full sequence.
+
+Replaces the reference's einsum attention
+(/root/reference/moco_pretraining/moco/model/module.py:36-105) and the ViT
+backbone attention from the external MoCo-v3 ``vits`` module.
+
+The 1-query CLS cross-attention of the MF-ViT CA fusion (module.py:108-138
+— q taken from token 0 only, producing a (B, H, 1, N) score) is left to an
+XLA einsum: its FLOPs are negligible and XLA fuses the chain into a single
+weighted-sum; a dedicated kernel measured slower due to grid overhead.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEFAULT_BACKEND = "auto"
+
+
+def set_default_backend(backend: str) -> None:
+    """Set process-wide default attention backend: auto|pallas|xla."""
+    global _DEFAULT_BACKEND
+    assert backend in ("auto", "pallas", "xla", "pallas_interpret")
+    _DEFAULT_BACKEND = backend
+
+
+def _resolve(backend: str | None) -> str:
+    b = backend or _DEFAULT_BACKEND
+    if b == "auto":
+        try:
+            plat = jax.devices()[0].platform
+        except Exception:  # pragma: no cover - no backend at all
+            plat = "cpu"
+        b = "pallas" if plat == "tpu" else "xla"
+    return b
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------- XLA path
+
+def mhsa_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: float | None = None) -> jnp.ndarray:
+    """Multi-head attention, (B, H, N, D) layout, fp32 softmax."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# --------------------------------------------------------------- Pallas path
+
+def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       n_valid: int):
+    q = q_ref[0]  # (Np, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Np, Np)
+    if n_valid != s.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p * pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _mhsa_pallas(q, k, v, scale: float, interpret: bool = False):
+    B, H, N, D = q.shape
+    Np = _round_up(N, 128)
+    BH = B * H
+
+    def prep(x):
+        x = x.reshape(BH, N, D)
+        if Np != N:
+            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+        return x
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    kernel = functools.partial(_fused_attn_kernel, scale=scale, n_valid=N)
+    spec = pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Np, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * Np * Np * D,
+            bytes_accessed=4 * BH * Np * D * q.dtype.itemsize,
+            transcendentals=BH * Np * Np,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :N, :].reshape(B, H, N, D)
+
+
+def mhsa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         scale: float | None = None, backend: str | None = None) -> jnp.ndarray:
+    """Fused multi-head self-attention, (B, H, N, D) layout."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b = _resolve(backend)
+    if b == "xla":
+        return mhsa_reference(q, k, v, scale)
+    return _mhsa_pallas(q, k, v, scale, interpret=(b == "pallas_interpret"))
+
+
+# ------------------------------------------------- 1-query cross-attention
+
+def cross_attention_1q(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       scale: float | None = None) -> jnp.ndarray:
+    """CLS-token cross-attention: q (B, H, 1, D), k/v (B, H, N, D).
+
+    The score matrix is (B, H, 1, N) — a per-head weighted sum over values.
+    Mirrors reference CrossAttention (module.py:108-138) where the query is
+    ``x[:, 0:1]`` only.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

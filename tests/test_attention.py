@@ -1,0 +1,55 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfvit_tpu.ops.attention import (
+    cross_attention_1q,
+    mhsa,
+    mhsa_reference,
+)
+
+
+def _qkv(key, B=2, H=3, N=197, D=32, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    shape = (B, H, N, D)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+def test_pallas_interpret_matches_xla(rng):
+    q, k, v = _qkv(rng, B=1, H=2)
+    ref = mhsa_reference(q, k, v)
+    out = mhsa(q, k, v, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_interpret_matches_xla_bf16(rng):
+    q, k, v = _qkv(rng, dtype=jnp.bfloat16)
+    ref = mhsa_reference(q, k, v)
+    out = mhsa(q, k, v, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_mhsa_matches_naive_softmax(rng):
+    """XLA path against a hand-written per-head loop."""
+    q, k, v = _qkv(rng, B=1, H=2, N=9, D=4)
+    out = mhsa_reference(q, k, v)
+    scale = 4 ** -0.5
+    for h in range(2):
+        s = np.asarray(q)[0, h] @ np.asarray(k)[0, h].T * scale
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(out)[0, h], p @ np.asarray(v)[0, h],
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_cross_attention_1q_is_mhsa_row0(rng):
+    """The 1-query CA must equal the first row of full attention."""
+    q, k, v = _qkv(rng, B=2, H=3, N=33, D=16)
+    full = mhsa_reference(q, k, v)
+    one = cross_attention_1q(q[:, :, :1], k, v)
+    np.testing.assert_allclose(np.asarray(one)[:, :, 0],
+                               np.asarray(full)[:, :, 0],
+                               atol=1e-5, rtol=1e-5)

@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfvit_tpu.nn import vit
+from mfvit_tpu.nn.posembed import sincos_2d
+
+
+def test_sincos_shape_and_cls_row():
+    pe = sincos_2d(14, 14, 384)
+    assert pe.shape == (1, 197, 384)
+    assert np.all(np.asarray(pe)[0, 0] == 0.0)  # CLS row is zeros
+    # each token row interleaves sin/cos bands with unit amplitude
+    assert np.all(np.abs(np.asarray(pe)) <= 1.0 + 1e-6)
+
+
+def test_vit_small_forward_shapes(rng):
+    cfg = vit.get_config("vit_small")
+    params = vit.init(rng, cfg, num_classes=3)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    logits = vit.apply(params, imgs, cfg, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 3)
+    assert logits.dtype == jnp.float32
+    tokens, logits2 = vit.apply(params, imgs, cfg, compute_dtype=jnp.float32,
+                                return_features=True)
+    assert tokens.shape == (2, 197, 384)  # features3D contract
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_vit_param_count(rng):
+    """ViT-S/16 backbone ~21.6M params + head."""
+    cfg = vit.get_config("vit_small")
+    params = vit.init(rng, cfg, num_classes=0)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 21_000_000 < n < 22_500_000, n
+
+
+def test_headless_returns_cls_embedding(rng):
+    cfg = vit.get_config("vit_small")
+    params = vit.init(rng, cfg, num_classes=0)
+    imgs = jnp.zeros((1, 224, 224, 3))
+    out = vit.apply(params, imgs, cfg, compute_dtype=jnp.float32)
+    assert out.shape == (1, 384)
+
+
+def test_stop_grad_conv1_blocks_patch_grads(rng):
+    cfg = vit.get_config("vit_small", img_size=32)
+    params = vit.init(rng, cfg, num_classes=3)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+
+    def loss(p, sg):
+        return vit.apply(p, imgs, cfg, compute_dtype=jnp.float32,
+                         stop_grad_conv1=sg).sum()
+
+    g = jax.grad(loss)(params, True)
+    assert float(jnp.abs(g["patch"]["w"]).max()) == 0.0
+    g2 = jax.grad(loss)(params, False)
+    assert float(jnp.abs(g2["patch"]["w"]).max()) > 0.0
+
+
+def test_patchify_roundtrip():
+    imgs = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    p = vit.patchify(imgs, 4)
+    assert p.shape == (2, 4, 48)
+    # first patch = top-left 4x4 block, (ph, pw, c) order
+    expect = np.asarray(imgs)[0, :4, :4, :].reshape(-1)
+    np.testing.assert_array_equal(np.asarray(p)[0, 0], expect)
