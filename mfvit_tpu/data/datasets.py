@@ -1,0 +1,139 @@
+"""Dataset flavors over manifests — indexable sample producers.
+
+Functional equivalents of the reference's loader.py dataset classes
+(/root/reference/moco_pretraining/moco/moco/loader.py), returning numpy
+arrays ready for batching:
+
+- ``CovidDataset``            <- Dataset_covid (:92-142)
+- ``CovidPairedDataset``      <- the fusion main's dual-loader zip, rebuilt
+                                 as one jointly-indexed dataset (SURVEY §3.3)
+- ``Covid4chDataset``         <- Dataset_covid_4ch (:144-198)
+- ``CovidEnhCxrDataset``      <- Dataset_covid_LEnh_RCXR_2norms (:201-258)
+                                 (+ the ``per_enh`` mix variant :261-328)
+- ``ChexpertDataset``         <- Dataset (:39-87) / Dataset_Mix* (:332-480)
+
+Each dataset produces either fixed-size uint8 canvases (device-fused
+augmentation path) or fully transformed float arrays (host parity path),
+depending on the transform passed in. The MoCo two-view behavior
+(TwoCropsTransform, loader.py:13-22) is a pipeline/device concern here:
+datasets return ONE canvas per flavor; ``device_aug.augment_two_views``
+draws the two views on-device.
+"""
+from __future__ import annotations
+
+import random
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from mfvit_tpu.data import host_transforms as ht
+from mfvit_tpu.data.manifest import (Manifest, parse_chexpert, parse_covid,
+                                     parse_covid_paired)
+
+Transform = Callable[[np.ndarray], np.ndarray]
+
+
+class CovidDataset:
+    """Single-flavor COVID dataset: (image, label)."""
+
+    def __init__(self, folder: str, img_csv: str, transform: Transform):
+        self.manifest = parse_covid(img_csv, folder)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.int32]:
+        img = ht.decode_bgr(self.manifest.paths[idx])
+        return self.transform(img), self.manifest.labels[idx]
+
+
+class CovidPairedDataset:
+    """Jointly-indexed CXR+Enh pairs: (img_cxr, img_enh, label).
+
+    Per-branch transforms are independent (the reference applies separate
+    augmentation per loader — fusion main :524-547/:615-643); pairing is by
+    sample index, guaranteed by construction."""
+
+    def __init__(self, img_csv: str, transform_cxr: Transform,
+                 transform_enh: Transform, folder_cxr: str = "data",
+                 folder_enh: str = "Train_Mix"):
+        self.manifest = parse_covid_paired(img_csv, folder_cxr, folder_enh)
+        self.transform_cxr = transform_cxr
+        self.transform_enh = transform_enh
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int):
+        cxr = ht.decode_bgr(self.manifest.paths[idx])
+        enh = ht.decode_bgr(self.manifest.paths_alt[idx])
+        return (self.transform_cxr(cxr), self.transform_enh(enh),
+                self.manifest.labels[idx])
+
+
+class Covid4chDataset:
+    """CXR gray channel + 3 Enh channels stacked to 4 (loader.py:182:
+    ``np.concatenate((cxr, enh), axis=2)[:, :, 2:]``)."""
+
+    def __init__(self, img_csv: str, transform: Transform,
+                 folder_cxr: str = "data", folder_enh: str = "Train_Mix"):
+        self.manifest = parse_covid_paired(img_csv, folder_cxr, folder_enh)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int):
+        cxr = ht.decode_bgr(self.manifest.paths[idx])
+        enh = ht.decode_bgr(self.manifest.paths_alt[idx])
+        img = np.concatenate((cxr, enh), axis=2)[:, :, 2:]
+        return self.transform(img), self.manifest.labels[idx]
+
+
+class CovidEnhCxrDataset:
+    """Cross-modal contrastive pairing: q = Enh view, k = CXR view, each
+    with its own transform (Dataset_covid_LEnh_RCXR_2norms, :201-258).
+
+    With ``per_enh < 1`` the Enh image is replaced by the CXR image (and
+    its transform) with probability ``1 - per_enh`` (mix variant
+    :261-328)."""
+
+    def __init__(self, img_csv: str, transform_cxr: Transform,
+                 transform_enh: Transform, per_enh: float = 1.0,
+                 seed: Optional[int] = 0, folder_cxr: str = "data",
+                 folder_enh: str = "Train_Mix"):
+        self.manifest = parse_covid_paired(img_csv, folder_cxr, folder_enh)
+        self.transform_cxr = transform_cxr
+        self.transform_enh = transform_enh
+        self.per_enh = per_enh
+        self._rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int):
+        cxr = ht.decode_bgr(self.manifest.paths[idx])
+        if self.per_enh >= 1.0 or self._rng.random() <= self.per_enh:
+            enh = ht.decode_bgr(self.manifest.paths_alt[idx])
+            q = self.transform_enh(enh)
+        else:
+            q = self.transform_cxr(cxr)
+        k = self.transform_cxr(cxr)
+        return q, k, self.manifest.labels[idx]
+
+
+class ChexpertDataset:
+    """CheXpert CSV dataset with disease-column label lookup."""
+
+    def __init__(self, folder: str, img_csv: str, transform: Transform,
+                 disease_name: str):
+        self.manifest = parse_chexpert(img_csv, folder, disease_name)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int):
+        img = ht.decode_bgr(self.manifest.paths[idx])
+        return self.transform(img), self.manifest.labels[idx]

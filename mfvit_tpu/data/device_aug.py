@@ -1,0 +1,94 @@
+"""Device-fused batched augmentation (the TPU half of host+device preprocessing).
+
+One jitted function takes a uint8 NHWC canvas batch straight from the host
+loader and performs random horizontal flip, random small-angle rotation
+(nearest-neighbor sampling, zero fill — matching torchvision
+RandomRotation defaults used by the reference, image_transform.py:31) and
+per-flavor normalization, entirely on-device in a single fused XLA program.
+This replaces the reference's per-sample host-side torchvision stack
+(aihc_utils/image_transform.py:21-84) for the training hot path; the exact
+host PIL stack remains available for parity (host_transforms.ChexpertTransform).
+
+All shapes are static; randomness comes from explicit jax.random keys
+(replacing the reference's global ``random``/``torch.rand`` state)."""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.data.constants import norm_stats
+
+
+def _rotate_nearest(imgs: jnp.ndarray, angles_rad: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample rotation about the image center, nearest sampling, zero fill.
+
+    imgs: (B, H, W, C) float32; angles_rad: (B,). Positive angle =
+    counter-clockwise (PIL ``Image.rotate`` convention)."""
+    B, H, W, C = imgs.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None] - cy      # (H,1)
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :] - cx      # (1,W)
+    cos = jnp.cos(angles_rad)[:, None, None]                  # (B,1,1)
+    sin = jnp.sin(angles_rad)[:, None, None]
+    # Inverse rotation of output coords -> source coords. Signs chosen so a
+    # positive angle matches PIL ``Image.rotate`` (counter-clockwise) BIT
+    # EXACTLY with nearest sampling about the (H-1)/2 center (verified in
+    # tests/test_data.py against PIL).
+    src_x = cos * xx - sin * yy + cx                          # (B,H,W)
+    src_y = sin * xx + cos * yy + cy
+    ix = jnp.round(src_x).astype(jnp.int32)
+    iy = jnp.round(src_y).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    ixc = jnp.clip(ix, 0, W - 1)
+    iyc = jnp.clip(iy, 0, H - 1)
+    flat = imgs.reshape(B, H * W, C)
+    lin = (iyc * W + ixc).reshape(B, H * W)
+    out = jnp.take_along_axis(flat, lin[:, :, None], axis=1).reshape(B, H, W, C)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_type", "training", "rotate_deg", "hflip", "out_dtype"),
+)
+def augment_batch(key, canvases: jnp.ndarray, *, img_type: str = "data",
+                  training: bool = True, rotate_deg: float = 10.0,
+                  hflip: bool = True, out_dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 (B, S, S, C) canvases -> augmented normalized (B, S, S, C).
+
+    Train: random hflip (p=.5) + random rotation U(-rotate_deg, rotate_deg)
+    + normalize. Eval: normalize only.
+    """
+    mean, std = norm_stats(img_type)
+    x = canvases.astype(jnp.float32) / 255.0
+    if training:
+        kf, kr = jax.random.split(key)
+        if hflip:
+            flip = jax.random.bernoulli(kf, 0.5, (x.shape[0],))
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        if rotate_deg:
+            deg = jax.random.uniform(kr, (x.shape[0],), minval=-rotate_deg,
+                                     maxval=rotate_deg)
+            x = _rotate_nearest(x, jnp.deg2rad(deg))
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_type", "rotate_deg", "hflip", "out_dtype"),
+)
+def augment_two_views(key, canvases: jnp.ndarray, *, img_type: str = "data",
+                      rotate_deg: float = 10.0, hflip: bool = True,
+                      out_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MoCo q/k two-view augmentation (TwoCropsTransform, loader.py:13-22):
+    the SAME canvas, two independent augmentation draws."""
+    kq, kk = jax.random.split(key)
+    q = augment_batch(kq, canvases, img_type=img_type, training=True,
+                      rotate_deg=rotate_deg, hflip=hflip, out_dtype=out_dtype)
+    k = augment_batch(kk, canvases, img_type=img_type, training=True,
+                      rotate_deg=rotate_deg, hflip=hflip, out_dtype=out_dtype)
+    return q, k

@@ -1,0 +1,130 @@
+"""Host input pipeline: threaded decode, batch assembly, device prefetch.
+
+TPU-native replacement for the reference's
+``DataLoader(num_workers=12, pin_memory=True, drop_last=True)`` +
+``DistributedSampler`` stack (pretrain main :425-442): worker THREADS
+(cv2/PIL release the GIL during decode/resize) assemble whole numpy
+batches, a small queue keeps batches ready ahead of the training step, and
+``device_prefetch`` overlays H2D transfer with compute by keeping the next
+batch in flight — the double-buffered host->HBM feed from BASELINE.json's
+north star. Sharded transfer over a mesh data axis replaces the
+per-process batch split.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+
+def _collate(samples: Sequence) -> tuple:
+    """Stack a list of per-sample tuples field-wise."""
+    fields = list(zip(*[s if isinstance(s, tuple) else (s,) for s in samples]))
+    return tuple(np.stack(f) for f in fields)
+
+
+class BatchLoader:
+    """Iterable over epochs of batches from an indexable dataset.
+
+    Deterministic order: epoch ``e`` shuffles with ``seed + e`` (the
+    functional analogue of ``DistributedSampler.set_epoch`` — pretrain main
+    :450-451). ``pad_final`` pads the last short batch by wrapping (batch
+    shape stays static for XLA) and reports the real count.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, num_workers: int = 8,
+                 prefetch: int = 3, pad_final: bool = False):
+        assert not (drop_last and pad_final)
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator:
+        idx = self._epoch_indices()
+        self.epoch += 1
+        n = len(idx)
+        batches = []
+        for s in range(0, n, self.bs):
+            chunk = idx[s:s + self.bs]
+            if len(chunk) < self.bs:
+                if self.drop_last:
+                    break
+                if self.pad_final:
+                    chunk = np.concatenate([chunk, idx[: self.bs - len(chunk)]])
+            batches.append(chunk)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.ds.__getitem__, b))
+                    q.put(_collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
+
+
+def device_prefetch(it: Iterator, *, sharding=None, depth: int = 2):
+    """Move batches to device ahead of consumption (double buffering).
+
+    ``sharding`` is an optional ``jax.sharding.Sharding`` (e.g. batch split
+    over the mesh 'data' axis) applied to every array in the batch — the
+    TPU-side replacement for DistributedSampler's per-rank slicing.
+    """
+    def put(batch):
+        if sharding is None:
+            return jax.tree.map(jnp_device_put, batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def jnp_device_put(x):
+        return jax.device_put(x)
+
+    buf = []
+    for batch in it:
+        buf.append(put(batch))
+        if len(buf) >= depth:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)

@@ -1,0 +1,222 @@
+"""Data subsystem tests: manifests, host transforms, device-fused
+augmentation, batch loader (reference semantics per SURVEY §2.4)."""
+import os
+
+import numpy as np
+import pytest
+
+import cv2
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from mfvit_tpu.data import constants, datasets, device_aug, host_transforms as ht
+from mfvit_tpu.data import manifest as mf
+from mfvit_tpu.data.pipeline import BatchLoader
+
+
+def _write_img(path, h=260, w=300, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    cv2.imwrite(path, img)
+    return img
+
+
+# ------------------------------------------------------------- constants
+
+def test_norm_constants_match_reference():
+    # image_transform.py:4-16
+    assert constants.CXR_STD[0] == pytest.approx(round(0.085585 ** 0.5, 4), abs=1e-9)
+    assert constants.DATA_MEAN == (0.5045, 0.5045, 0.5045)
+    assert constants.TRAIN_MIX_STD == (0.1026, 0.2995, 0.3300)
+    mean, std = constants.norm_stats("Train_Mix")
+    assert mean == constants.TRAIN_MIX_MEAN and std == constants.TRAIN_MIX_STD
+    with pytest.raises(KeyError):
+        constants.norm_stats("nope")
+
+
+# ------------------------------------------------------------- manifests
+
+def test_covid_manifest_roundtrip(tmp_path):
+    p = tmp_path / "train.txt"
+    mf.write_covid_manifest(str(p), "/data/root", ["a.png", "b.png"], [2, 0])
+    m = mf.parse_covid(str(p), "data")
+    assert m.paths == ["/data/root/data/a.png", "/data/root/data/b.png"]
+    assert m.labels.tolist() == [2, 0]
+    pm = mf.parse_covid_paired(str(p))
+    assert pm.paths_alt == ["/data/root/Train_Mix/a.png",
+                            "/data/root/Train_Mix/b.png"]
+    assert pm.labels.tolist() == [2, 0]
+
+
+def test_chexpert_manifest(tmp_path):
+    p = tmp_path / "chex.csv"
+    p.write_text("idx,Path,Sex,Pneumonia\n0,x/img1.jpg,F,1.0\n"
+                 "1,x/img2.jpg,M,-1.0\n2,x/img3.jpg,M,\n")
+    m = mf.parse_chexpert(str(p), "/root_dir", "Pneumonia")
+    assert m.paths[0] == "/root_dir/x/img1.jpg"
+    # label remap {'1.0':1, '-1.0':1, '':0} — loader.py:48
+    assert m.labels.tolist() == [1, 1, 0]
+
+
+def test_split_manifest_naming(tmp_path):
+    assert mf.split_manifest_path("/r", 0.1, 3).endswith("0.1_labeled_train_3.txt")
+    assert mf.split_manifest_path("/r", 1.0, 0).endswith("1_labeled_train_0.txt")
+    assert mf.split_manifest_path("/r", 0.0025, 0, labeled=False).endswith(
+        "0.0025_unlabeled_train_0.txt")
+
+
+# -------------------------------------------------------- host transforms
+
+def test_resize_shorter_semantics():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out = ht.resize_shorter(img, 224)
+    assert out.shape == (224, 448, 3)
+    out = ht.resize_shorter(np.zeros((300, 150, 3), np.uint8), 224)
+    assert out.shape == (448, 224, 3)
+
+
+def test_center_crop_matches_torchvision_formula():
+    img = np.arange(7 * 9 * 3, dtype=np.uint8).reshape(7, 9, 3)
+    out = ht.center_crop(img, 4, 4)
+    # torchvision: top = round((7-4)/2)=2, left = round((9-4)/2)=2
+    np.testing.assert_array_equal(out, img[2:6, 2:6])
+
+
+def test_chexpert_transform_eval_shapes_and_values():
+    img = np.full((260, 300, 3), 128, np.uint8)
+    t = ht.ChexpertTransform(img_type="data", training=False)
+    out = t(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.float32
+    expect = (128 / 255.0 - 0.5045) / 0.2462
+    assert out[112, 112, 0] == pytest.approx(expect, abs=1e-6)
+
+
+def test_chexpert_transform_train_is_random_but_seeded():
+    img = np.random.default_rng(0).integers(0, 255, (260, 300, 3), np.uint8)
+    a = ht.ChexpertTransform(img_type="data", training=True, seed=1)(img)
+    b = ht.ChexpertTransform(img_type="data", training=True, seed=1)(img)
+    c = ht.ChexpertTransform(img_type="data", training=True, seed=2)(img)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (224, 224, 3)
+    assert not np.array_equal(a, c)
+
+
+def test_canvas_transform():
+    img = np.random.default_rng(0).integers(0, 255, (250, 500, 3), np.uint8)
+    out = ht.CanvasTransform(training=False)(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+    out = ht.CanvasTransform(training=True, seed=0)(img)
+    assert out.shape == (224, 224, 3)
+
+
+# ------------------------------------------------------------ device aug
+
+def test_device_rotate_matches_pil_nearest():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    angle = 7.5
+    ours = np.asarray(device_aug._rotate_nearest(
+        jnp.asarray(img, jnp.float32)[None], jnp.deg2rad(jnp.array([angle]))
+    ))[0]
+    pil = np.asarray(Image.fromarray(img).rotate(angle, resample=Image.NEAREST))
+    np.testing.assert_array_equal(ours, pil.astype(np.float32))
+
+
+def test_augment_batch_eval_is_pure_normalize():
+    canv = np.full((2, 32, 32, 3), 255, np.uint8)
+    out = device_aug.augment_batch(jax.random.PRNGKey(0), jnp.asarray(canv),
+                                   img_type="data", training=False)
+    mean, std = constants.norm_stats("data")
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0],
+                               (1.0 - np.array(mean)) / np.array(std),
+                               rtol=1e-5)
+
+
+def test_augment_two_views_differ():
+    canv = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 64, 64, 3), np.uint8))
+    q, k = device_aug.augment_two_views(jax.random.PRNGKey(0), canv,
+                                        img_type="data")
+    assert q.shape == k.shape == (4, 64, 64, 3)
+    assert not np.array_equal(np.asarray(q), np.asarray(k))
+
+
+# -------------------------------------------------------------- pipeline
+
+class _ToyDS:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((4, 4), i, np.float32), np.int32(i % 3)
+
+
+def test_batch_loader_shapes_and_determinism():
+    dl1 = BatchLoader(_ToyDS(10), 4, seed=7, num_workers=2)
+    dl2 = BatchLoader(_ToyDS(10), 4, seed=7, num_workers=2)
+    b1 = [b for b in dl1]
+    b2 = [b for b in dl2]
+    assert len(b1) == 2  # drop_last
+    for (x1, y1), (x2, y2) in zip(b1, b2):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+    assert b1[0][0].shape == (4, 4, 4)
+    # next epoch shuffles differently
+    b3 = [b for b in dl1]
+    assert not all(np.array_equal(a[0], b[0]) for a, b in zip(b1, b3))
+
+
+def test_batch_loader_pad_final():
+    dl = BatchLoader(_ToyDS(10), 4, drop_last=False, pad_final=True,
+                     shuffle=False, num_workers=1)
+    batches = [b for b in dl]
+    assert len(batches) == 3
+    assert all(b[0].shape[0] == 4 for b in batches)
+    # wrapped padding repeats the head of the index order
+    np.testing.assert_array_equal(batches[2][0][:, 0, 0], [8, 9, 0, 1])
+
+
+# -------------------------------------------------------------- datasets
+
+def test_covid_paired_dataset(tmp_path):
+    root = tmp_path
+    for folder in ("data", "Train_Mix"):
+        os.makedirs(root / folder)
+    imgs = {}
+    for i, fn in enumerate(["a.png", "b.png"]):
+        imgs[fn] = _write_img(str(root / "data" / fn), seed=i)
+        _write_img(str(root / "Train_Mix" / fn), seed=10 + i)
+    man = root / "train.txt"
+    mf.write_covid_manifest(str(man), str(root), ["a.png", "b.png"], [1, 2])
+
+    tf_cxr = ht.CanvasTransform(training=False)
+    tf_enh = ht.CanvasTransform(training=False)
+    ds = datasets.CovidPairedDataset(str(man), tf_cxr, tf_enh)
+    cxr, enh, label = ds[1]
+    assert cxr.shape == (224, 224, 3) and enh.shape == (224, 224, 3)
+    assert label == 2
+    assert not np.array_equal(cxr, enh)
+
+    # single-flavor dataset decodes BGR identical to cv2
+    ds1 = datasets.CovidDataset("data", str(man),
+                                lambda x: x)  # identity transform
+    raw, label0 = ds1[0]
+    np.testing.assert_array_equal(raw, imgs["a.png"])
+    assert label0 == 1
+
+
+def test_covid_4ch_dataset(tmp_path):
+    root = tmp_path
+    for folder in ("data", "Train_Mix"):
+        os.makedirs(root / folder)
+        for i, fn in enumerate(["a.png"]):
+            _write_img(str(root / folder / fn), seed=i + (folder == "data"))
+    man = root / "t.txt"
+    mf.write_covid_manifest(str(man), str(root), ["a.png"], [0])
+    ds = datasets.Covid4chDataset(str(man), lambda x: x)
+    img, _ = ds[0]
+    assert img.shape[-1] == 4  # cat(cxr,enh)[:,:,2:] — loader.py:182
