@@ -1,0 +1,194 @@
+"""Checkpointing: orbax save/restore + PyTorch-interop key mapping.
+
+Native checkpoints are orbax pytrees. For parity with the reference, a
+converter loads the reference's ``.pth.tar`` torch checkpoints into our
+parameter pytrees, reproducing the reference's checkpoint surgery:
+
+- MoCo pretrain ckpt -> classifier: strip the ``module.base_encoder.``
+  prefix, drop the projector MLP that replaced ``head``, assert that ONLY
+  ``head.weight``/``head.bias`` are left missing (finetune main :312-337);
+- finetuned per-branch ckpts -> fusion: strict full load (fusion main
+  :337-390).
+
+Policy helpers mirror the reference's artifacts: best-val-AUC
+``model_best`` in ``train_{s}_{it}/``, best-val-ACC twin in the ``_acc``
+folder, and ``last_checkpoint`` (finetune :567-624, :829-839).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+
+
+# ----------------------------------------------------------------- orbax
+
+def save(path: str, tree: Params) -> None:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(path, jax.tree.map(np.asarray, tree), force=True)
+
+
+def restore(path: str, like: Optional[Params] = None) -> Params:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ck:
+        if like is None:
+            return ck.restore(path)
+        like_np = jax.tree.map(np.asarray, like)
+        out = ck.restore(path, target=like_np)
+    return jax.tree.map(jnp.asarray, out)
+
+
+class BestKeeper:
+    """Track a metric and save best/last checkpoints (reference policy)."""
+
+    def __init__(self, folder: str, mode: str = "max",
+                 best_name: str = "model_best", last_name: str = "last_checkpoint"):
+        self.folder = str(folder)
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.best_name = best_name
+        self.last_name = last_name
+
+    def update(self, metric: float, tree: Params, *,
+               save_last: bool = True) -> bool:
+        """Save ``last`` (optional) and, on improvement, ``best``.
+        Returns True when the metric improved."""
+        if save_last:
+            save(os.path.join(self.folder, self.last_name), tree)
+        better = (self.best is None or
+                  (metric > self.best if self.mode == "max" else metric < self.best))
+        if better:
+            self.best = metric
+            save(os.path.join(self.folder, self.best_name), tree)
+        return better
+
+
+# ------------------------------------------------------------ torch side
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference ``.pth.tar`` and return a flat numpy state dict
+    (handles the ``{'state_dict': ...}`` wrapper the mains save —
+    pretrain :461-479)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Keep only keys under ``prefix``, with it removed (the reference's
+    ``k[len('module.base_encoder.'):]`` surgery — finetune :326-333)."""
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ------------------------------------------------- torch ViT -> our pytree
+
+def torch_vit_to_params(sd: Dict[str, np.ndarray], cfg, *,
+                        expect_head: bool = True) -> Params:
+    """Map a MoCo-v3 ``vits.py`` ViT state dict to our vit.py pytree.
+
+    Layout notes: torch Linear stores (out, in) -> transposed; the
+    patch-embed conv (out, in, kh, kw) is re-expressed for our
+    patchify+matmul formulation as (kh*kw*in, out), matching patchify's
+    (ph, pw, c) within-patch feature order (vit.py:126-133).
+    """
+    def t(name):
+        return jnp.asarray(sd[name])
+
+    conv = np.asarray(sd["patch_embed.proj.weight"])  # (D, C, P, P)
+    D, C, P, _ = conv.shape
+    patch_w = jnp.asarray(conv.transpose(2, 3, 1, 0).reshape(P * P * C, D))
+    params: Params = {
+        "patch": {"w": patch_w, "b": t("patch_embed.proj.bias")},
+        "cls": t("cls_token"),
+        "norm": {"scale": t("norm.weight"), "bias": t("norm.bias")},
+        "blocks": [],
+    }
+    if "pos_embed" in sd and cfg.learned_pos:
+        params["pos"] = t("pos_embed")
+    for i in range(cfg.depth):
+        b = f"blocks.{i}."
+        params["blocks"].append({
+            "norm1": {"scale": t(b + "norm1.weight"), "bias": t(b + "norm1.bias")},
+            "qkv": {"w": t(b + "attn.qkv.weight").T, "b": t(b + "attn.qkv.bias")},
+            "proj": {"w": t(b + "attn.proj.weight").T, "b": t(b + "attn.proj.bias")},
+            "norm2": {"scale": t(b + "norm2.weight"), "bias": t(b + "norm2.bias")},
+            "mlp": {
+                "fc1": {"w": t(b + "mlp.fc1.weight").T, "b": t(b + "mlp.fc1.bias")},
+                "fc2": {"w": t(b + "mlp.fc2.weight").T, "b": t(b + "mlp.fc2.bias")},
+            },
+        })
+    if expect_head and "head.weight" in sd and sd["head.weight"].ndim == 2:
+        params["head"] = {"w": t("head.weight").T, "b": t("head.bias")}
+    return params
+
+
+def load_moco_pretrained_backbone(path: str, cfg) -> Params:
+    """MoCo ckpt -> headless classifier backbone, asserting the surgery
+    leaves exactly the head missing (finetune :337)."""
+    sd = strip_prefix(load_torch_state_dict(path), "module.base_encoder.")
+    # drop the projector MLP that replaced `head` during pretraining
+    sd = {k: v for k, v in sd.items() if not k.startswith("head.")}
+    params = torch_vit_to_params(sd, cfg, expect_head=False)
+    assert "head" not in params
+    return params
+
+
+# ----------------------------------------------- torch fusion -> pytree
+
+def torch_fusion_to_params(sd: Dict[str, np.ndarray],
+                           multi_scale_enc_depth: int = 1,
+                           cross_attn_depth: int = 1) -> Params:
+    """Map the reference ``Fus_CrossViT`` fusion-head weights (the
+    multi_scale_transformers + mlp_head_* part of
+    crossvit_..._sum.py:88-113) to our fusion.py pytree."""
+    def t(name):
+        return jnp.asarray(sd[name])
+
+    encoders = []
+    for e in range(multi_scale_enc_depth):
+        base = f"multi_scale_transformers.{e}."
+        layers = []
+        for l in range(cross_attn_depth):
+            # ModuleList layout per layer (crossvit_..._sum.py:22-33 +
+            # unpack order :41-42): 0 = PreNorm(CA) used for the CXR/small
+            # direction, 1 = LayerNorm n_l (Enh), 2 = PreNorm(CA) for the
+            # Enh/large direction, 3 = LayerNorm n_s (CXR).
+            def ca(which):
+                p = f"{base}cross_attn_layers.{l}.{which}."
+                return {
+                    "norm": {"scale": t(p + "norm.weight"),
+                             "bias": t(p + "norm.bias")},
+                    "wq": {"w": t(p + "fn.wq.weight").T},
+                    "wk": {"w": t(p + "fn.wk.weight").T},
+                    "wv": {"w": t(p + "fn.wv.weight").T},
+                    "proj": {"w": t(p + "fn.proj.weight").T,
+                             "b": t(p + "fn.proj.bias")},
+                }
+
+            def ln(which):
+                p = f"{base}cross_attn_layers.{l}.{which}."
+                return {"scale": t(p + "weight"), "bias": t(p + "bias")}
+
+            layers.append({
+                "ca_s": ca("0"), "ln_l": ln("1"),
+                "ca_l": ca("2"), "ln_s": ln("3"),
+            })
+        encoders.append({"layers": layers})
+    return {
+        "encoders": encoders,
+        "head_cxr": {"w": t("mlp_head_cxr.0.weight").T,
+                     "b": t("mlp_head_cxr.0.bias")},
+        "head_enh": {"w": t("mlp_head_enh.0.weight").T,
+                     "b": t("mlp_head_enh.0.bias")},
+    }

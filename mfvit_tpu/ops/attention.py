@@ -93,8 +93,45 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _mhsa_pallas(q, k, v, scale: float, interpret: bool = False):
+    return _mhsa_pallas_fwd_impl(q, k, v, scale, interpret)
+
+
+def _mhsa_pallas_fwd(q, k, v, scale: float, interpret: bool):
+    out = _mhsa_pallas_fwd_impl(q, k, v, scale, interpret)
+    return out, (q, k, v)
+
+
+def _mhsa_pallas_bwd(scale: float, interpret: bool, res, g):
+    """Attention backward in XLA math (fp32 softmax recompute).
+
+    The Pallas forward is a single-tile flash special case; for ViT-S
+    shapes the recompute backward is bandwidth-cheap and XLA fuses it
+    well, so a dedicated backward kernel is not worth the grid overhead.
+    """
+    q, k, v = res
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_mhsa_pallas.defvjp(_mhsa_pallas_fwd, _mhsa_pallas_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _mhsa_pallas_fwd_impl(q, k, v, scale: float, interpret: bool = False):
     B, H, N, D = q.shape
     Np = _round_up(N, 128)
     BH = B * H

@@ -1,0 +1,133 @@
+"""Device mesh setup and sharding helpers — the TPU-native replacement for
+the reference's DDP/NCCL layer (SURVEY §2.6).
+
+The reference's entire distribution story is 1-D data parallelism:
+``mp.spawn`` one process per GPU, ``dist.init_process_group('nccl')``,
+``DistributedDataParallel`` gradient all-reduce, ``DistributedSampler``
+batch splitting (pretrain main :201-236, :297-312, :436). Here the same
+program runs single-controller over a ``jax.sharding.Mesh``:
+
+- a 1-D ``data`` axis (optionally a ``model`` axis for wider meshes —
+  unused by ViT-S which fits on one chip, kept for parity demos);
+- params/state replicated (``P()``), batches sharded over ``data``;
+- gradient all-reduce falls out of jit's partitioner for the supervised
+  steps, and is explicit (``pmean`` inside ``shard_map``) for the MoCo
+  step whose loss needs per-device collectives (all_gather negatives,
+  synced-BN pmean);
+- collectives ride ICI; no rendezvous server, no rank bookkeeping.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfvit_tpu.ssl import moco as moco_mod
+from mfvit_tpu.nn import vit as vit_mod
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices (all by default).
+
+    With more than one axis name the devices are reshaped so the trailing
+    axes get size 1 unless specified via a tuple n_devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if isinstance(n_devices, int):
+        shape = (n_devices,) + (1,) * (len(axis_names) - 1)
+    else:
+        shape = tuple(n_devices)
+    total = int(np.prod(shape))
+    arr = np.array(devs[:total]).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Place a pytree replicated on every mesh device."""
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Split the leading (batch) dim of every leaf over the mesh axis."""
+    s = batch_sharded(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def assert_divisible(global_batch: int, mesh: Mesh, axis: str = "data"):
+    n = mesh.shape[axis]
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by mesh axis "
+            f"{axis!r} of size {n}")
+
+
+# ---------------------------------------------------------- MoCo wrapper
+
+def make_moco_parallel_step(cfg: moco_mod.MoCoConfig,
+                            vit_cfg: vit_mod.ViTConfig, tx, mesh: Mesh, *,
+                            axis: str = "data",
+                            compute_dtype=jnp.bfloat16):
+    """shard_map the MoCo pretrain step over the data axis.
+
+    State and optimizer state are replicated; images are sharded on the
+    batch dim. Inside, the step uses ``all_gather`` for queue keys /
+    negatives and ``pmean`` for loss+BN stats, so every device computes an
+    identical state update (replication preserved by construction).
+
+    Also asserts the reference's queue invariant ``K % global_batch == 0``
+    (builder...mocov2loss.py:99) at trace time.
+    """
+    inner = moco_mod.make_pretrain_step(cfg, vit_cfg, tx, axis_name=axis,
+                                        compute_dtype=compute_dtype)
+
+    def step(state, opt_state, im_q, im_k, m):
+        if cfg.loss == "v2_queue":
+            assert cfg.K % im_q.shape[0] == 0, (
+                f"K={cfg.K} must divide global batch {im_q.shape[0]}")
+        wrapped = shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        return wrapped(state, opt_state, im_q, im_k, m)
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+# ----------------------------------------------- supervised jit wrappers
+
+def jit_data_parallel(step_fn, mesh: Mesh, *, donate: Sequence[int] = (0, 1),
+                      n_state_args: int = 2, axis: str = "data"):
+    """jit a supervised step with explicit shardings: the first
+    ``n_state_args`` arguments replicated, the rest batch-sharded. XLA's
+    partitioner inserts the gradient all-reduce (DDP equivalent)."""
+    rep = replicated(mesh)
+    shd = batch_sharded(mesh, axis)
+
+    def in_shardings(nargs):
+        return tuple(rep if i < n_state_args else shd for i in range(nargs))
+
+    @functools.wraps(step_fn)
+    def call(*args):
+        jitted = jax.jit(step_fn, in_shardings=in_shardings(len(args)),
+                         donate_argnums=tuple(donate))
+        return jitted(*args)
+
+    return call

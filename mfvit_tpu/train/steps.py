@@ -1,0 +1,106 @@
+"""Jitted train/eval step factories.
+
+Each factory closes over static config and returns pure jitted functions
+``(params, opt_state, batch...) -> (params, opt_state, aux)``. Under a
+``jax.sharding.Mesh`` with batch inputs sharded over the 'data' axis and
+replicated params, jit/XLA inserts the gradient all-reduce automatically —
+the TPU-native replacement for DDP's NCCL allreduce (SURVEY §2.6).
+
+Replicates the reference training semantics:
+- CE loss on fp32 logits (finetune :716, fusion :873);
+- fusion decision logits = fused + cxr + enh (fusion main :862-870);
+- linear-probe freezing via the optimizer mask (steps never mutate frozen
+  leaves — the property sanity_check() asserts).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mfvit_tpu.models import fusion as fusion_mod
+from mfvit_tpu.nn import vit as vit_mod
+
+Params = Any
+
+
+def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean cross-entropy on fp32 logits, integer labels."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+# ------------------------------------------------------------ classifier
+
+def make_classifier_steps(cfg: vit_mod.ViTConfig,
+                          tx: optax.GradientTransformation, *,
+                          compute_dtype=jnp.bfloat16,
+                          attn_backend: Optional[str] = None,
+                          stop_grad_conv1: bool = False
+                          ) -> Tuple[Callable, Callable]:
+    """(train_step, eval_step) for the single-stream ViT classifier
+    (LP/FT entry point, SURVEY §3.2)."""
+
+    def loss_fn(params, imgs, labels):
+        logits = vit_mod.apply(params, imgs, cfg, compute_dtype=compute_dtype,
+                               attn_backend=attn_backend,
+                               stop_grad_conv1=stop_grad_conv1)
+        return softmax_ce(logits, labels), logits
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, imgs, labels):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, imgs, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, logits
+
+    @jax.jit
+    def eval_step(params, imgs):
+        return vit_mod.apply(params, imgs, cfg, compute_dtype=compute_dtype,
+                             attn_backend=attn_backend)
+
+    return train_step, eval_step
+
+
+# --------------------------------------------------------------- fusion
+
+def make_fusion_steps(cfg: vit_mod.ViTConfig,
+                      tx: optax.GradientTransformation, *,
+                      heads: int = 3, compute_dtype=jnp.bfloat16,
+                      attn_backend: Optional[str] = None
+                      ) -> Tuple[Callable, Callable]:
+    """(train_step, eval_step) for MF-ViT CA.
+
+    ``params`` is ``{"cxr": vit_params, "enh": vit_params, "fus":
+    fusion_params}``. The training/eval decision logits are
+    ``fused + logits_cxr + logits_enh`` (fusion main :868)."""
+
+    def forward(params, img_cxr, img_enh):
+        return fusion_mod.fused_forward(
+            params["cxr"], params["enh"], params["fus"], img_cxr, img_enh,
+            cfg, heads=heads, compute_dtype=compute_dtype,
+            attn_backend=attn_backend)
+
+    def loss_fn(params, img_cxr, img_enh, labels):
+        fused, lc, le = forward(params, img_cxr, img_enh)
+        out = fused + lc + le
+        return softmax_ce(out, labels), out
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, img_cxr, img_enh, labels):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, img_cxr, img_enh, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, out
+
+    @jax.jit
+    def eval_step(params, img_cxr, img_enh):
+        fused, lc, le = forward(params, img_cxr, img_enh)
+        return fused + lc + le
+
+    return train_step, eval_step

@@ -53,3 +53,25 @@ def test_cross_attention_1q_is_mhsa_row0(rng):
     np.testing.assert_allclose(np.asarray(one)[:, :, 0],
                                np.asarray(full)[:, :, 0],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_mhsa_grad_matches_xla(rng):
+    """The Pallas forward must be differentiable (custom_vjp) and its
+    gradients must match the XLA reference formulation."""
+    import functools
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (2, 3, 197, 64), jnp.float32)
+    k = jax.random.normal(k2, (2, 3, 197, 64), jnp.float32)
+    v = jax.random.normal(k3, (2, 3, 197, 64), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(mhsa(q, k, v, backend="pallas_interpret") ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(mhsa(q, k, v, backend="xla") ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

@@ -1,0 +1,84 @@
+"""Experiment subsystem: storage naming, orbax roundtrip, BestKeeper
+policy, 5-draws harness."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.exp import checkpoint as ckpt
+from mfvit_tpu.exp import harness, storage
+
+
+def test_storage_naming(tmp_path, monkeypatch):
+    monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+    f = storage.get_storage_folder("covid", "moco", root=str(tmp_path))
+    assert f.name.startswith("covid_moco_")
+    sub = storage.get_storage_sub_folder(f, 0.1, 3)
+    assert sub.name == "train_0.1_3"
+    acc = storage.get_storage_sub_folder(f, 0.1, 3, acc=True)
+    assert acc.name == "train_0.1_3_acc"
+
+    monkeypatch.setenv("SLURM_JOB_ID", "42")
+    f2 = storage.get_storage_folder("covid", "moco", root=str(tmp_path))
+    assert f2.name.endswith("_SLURM42")
+
+
+def test_orbax_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3),
+            "nested": {"b": jnp.ones((4,), jnp.int32)},
+            "list": [jnp.zeros(2), jnp.full((2, 2), 3.0)]}
+    path = str(tmp_path / "ck1")
+    ckpt.save(path, tree)
+    out = ckpt.restore(path, like=tree)
+    for a, b in zip(jax.tree_util.tree_leaves(tree),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_keeper(tmp_path):
+    bk = ckpt.BestKeeper(str(tmp_path), mode="max")
+    t1 = {"w": jnp.ones(3)}
+    assert bk.update(0.5, t1)
+    assert not bk.update(0.4, {"w": jnp.zeros(3)})
+    assert bk.update(0.9, {"w": jnp.full(3, 2.0)})
+    best = ckpt.restore(os.path.join(str(tmp_path), "model_best"), like=t1)
+    np.testing.assert_array_equal(np.asarray(best["w"]), 2.0)
+    last = ckpt.restore(os.path.join(str(tmp_path), "last_checkpoint"), like=t1)
+    np.testing.assert_array_equal(np.asarray(last["w"]), 2.0)
+
+
+def test_harness_run_draws(tmp_path):
+    calls = []
+
+    def train_one(ratio, draw, sub, writer):
+        calls.append((ratio, draw, str(sub)))
+        return harness.DrawResult(ratio, draw, test_auc=0.9 + draw * 0.01,
+                                  test_acc=0.8)
+
+    res = harness.run_draws(tmp_path, [0.1, 1], train_one,
+                            iterations={0.1: 2, 1: 1})
+    assert len(res) == 3
+    assert calls[0][:2] == (0.1, 0) and calls[2][:2] == (1, 0)
+    assert "train_0.1_1" in calls[1][2]
+    with open(tmp_path / "all_test_auc.pickle", "rb") as f:
+        mat = pickle.load(f)
+    assert mat == [[0.9, 0.91], [0.9]]
+    assert (tmp_path / "results.json").exists()
+
+
+def test_snapshot_args(tmp_path):
+    class NS:
+        pass
+    ns = NS()
+    ns.lr = 1.5e-4
+    ns.arch = "vit_small"
+    ns.fn = print  # non-serializable -> repr()
+    harness.snapshot_args(tmp_path, ns)
+    import json
+    with open(tmp_path / "commandline_args.txt") as f:
+        d = json.load(f)
+    assert d["lr"] == 1.5e-4 and d["arch"] == "vit_small"

@@ -1,0 +1,85 @@
+"""Multi-device (8-way CPU mesh) tests: data-parallel supervised training
+equals single-device training; MoCo parallel step preserves replication."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.nn import vit
+from mfvit_tpu.parallel import mesh as pmesh
+from mfvit_tpu.ssl import moco
+from mfvit_tpu.train import optim, steps
+
+TINY = vit.ViTConfig("tiny", img_size=32, patch=16, dim=32, depth=1, heads=2)
+
+
+def test_make_mesh_and_helpers():
+    m = pmesh.make_mesh(8)
+    assert m.shape["data"] == 8
+    with pytest.raises(ValueError):
+        pmesh.assert_divisible(12, m)
+    pmesh.assert_divisible(16, m)
+
+
+def test_data_parallel_classifier_matches_single_device(rng):
+    params = vit.init(rng, TINY, num_classes=3)
+    tx = optim.build_optimizer("sgd", 0.05)
+    train_step, _ = steps.make_classifier_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla")
+
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    labels = jnp.asarray(np.arange(16) % 3)
+
+    # replicate BEFORE the single-device loop: train_step donates its
+    # params/opt_state arguments
+    m = pmesh.make_mesh(8)
+    p2 = pmesh.replicate(params, m)
+    s2 = pmesh.replicate(tx.init(params), m)
+
+    # single device (deep-copied: device_put aliases the source buffer as
+    # the device-0 shard, and train_step donates its arguments)
+    p1 = jax.tree.map(jnp.copy, params)
+    s1 = tx.init(p1)
+    for _ in range(3):
+        p1, s1, loss1, _ = train_step(p1, s1, imgs, labels)
+    imgs_s = pmesh.shard_batch(imgs, m)
+    labels_s = pmesh.shard_batch(labels, m)
+    for _ in range(3):
+        p2, s2, loss2, _ = train_step(p2, s2, imgs_s, labels_s)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_moco_parallel_step_replication_and_queue():
+    cfg = moco.MoCoConfig(dim=16, mlp_dim=32, K=64, T=0.2)
+    state = moco.init(jax.random.PRNGKey(0), cfg, TINY)
+    tx = optim.build_optimizer("adamw", 1e-3, weight_decay=0.1)
+    opt_state = tx.init({"base": state["base"],
+                         "predictor": state["predictor"]})
+
+    m = pmesh.make_mesh(8)
+    step = pmesh.make_moco_parallel_step(cfg, TINY, tx, m,
+                                         compute_dtype=jnp.float32)
+    state = pmesh.replicate(state, m)
+    opt_state = pmesh.replicate(opt_state, m)
+    imq = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    imk = jax.random.normal(jax.random.PRNGKey(2), (16, 32, 32, 3))
+    imq_s = pmesh.shard_batch(imq, m)
+    imk_s = pmesh.shard_batch(imk, m)
+
+    state, opt_state, loss = step(state, opt_state, imq_s, imk_s,
+                                  jnp.float32(0.99))
+    assert np.isfinite(float(loss))
+    assert int(state["queue_ptr"]) == 16  # global batch enqueued
+    norms = np.linalg.norm(np.asarray(state["queue"][:, :16]), axis=0)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+    # second step keeps the ring moving
+    state, opt_state, loss = step(state, opt_state, imq_s, imk_s,
+                                  jnp.float32(0.99))
+    assert int(state["queue_ptr"]) == 32

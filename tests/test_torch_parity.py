@@ -1,0 +1,232 @@
+"""Numerical parity against PyTorch (fp32): our JAX ViT vs an equivalent
+torch ViT, and our fusion head vs the REFERENCE Fus_CrossViT imported from
+/root/reference (with timm stubbed), weights carried across by the
+exp.checkpoint converters. This is the 'fp32 logits matching the PyTorch
+reference' requirement of BASELINE.json's north star."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+import torch.nn as nn
+
+from mfvit_tpu.exp import checkpoint as ckpt
+from mfvit_tpu.models import fusion
+from mfvit_tpu.nn import posembed, vit
+
+torch.manual_seed(0)
+
+TINY = vit.ViTConfig("tiny", img_size=32, patch=8, dim=32, depth=2, heads=2)
+
+
+# ------------------------------- minimal torch ViT (MoCo-v3 semantics) --
+
+class TorchBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = nn.Linear(dim, dim * mlp_ratio)
+        self.fc2 = nn.Linear(dim * mlp_ratio, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, C = x.shape
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(B, N, 3, self.heads, C // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        a = (q @ k.transpose(-2, -1)) * (C // self.heads) ** -0.5
+        a = a.softmax(-1)
+        x = x + self.proj((a @ v).transpose(1, 2).reshape(B, N, C))
+        x = x + self.fc2(torch.nn.functional.gelu(self.fc1(self.norm2(x))))
+        return x
+
+
+class TorchViT(nn.Module):
+    """Equivalent of MoCo-v3 vits.py ViT (fixed sincos pos embed)."""
+
+    def __init__(self, cfg, num_classes=3):
+        super().__init__()
+        self.cfg = cfg
+        self.patch_conv = nn.Conv2d(3, cfg.dim, cfg.patch, stride=cfg.patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, cfg.dim) * 0.02)
+        pe = np.asarray(posembed.sincos_2d(cfg.grid, cfg.grid, cfg.dim))
+        self.register_buffer("pos_embed", torch.tensor(pe))
+        self.blocks = nn.ModuleList(
+            [TorchBlock(cfg.dim, cfg.heads) for _ in range(cfg.depth)])
+        self.norm = nn.LayerNorm(cfg.dim, eps=1e-6)
+        self.head = nn.Linear(cfg.dim, num_classes)
+
+    def forward(self, x):  # x: (B, 3, H, W)
+        B = x.shape[0]
+        x = self.patch_conv(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], 1)
+        x = x + self.pos_embed
+        for b in self.blocks:
+            x = b(x)
+        return self.head(self.norm(x)[:, 0])
+
+    def state_dict_vits_names(self):
+        """Rename to the MoCo-v3 vits.py key layout the converter expects."""
+        sd = {}
+        sd["patch_embed.proj.weight"] = self.patch_conv.weight.detach().numpy()
+        sd["patch_embed.proj.bias"] = self.patch_conv.bias.detach().numpy()
+        sd["cls_token"] = self.cls_token.detach().numpy()
+        for i, b in enumerate(self.blocks):
+            p = f"blocks.{i}."
+            sd[p + "norm1.weight"] = b.norm1.weight.detach().numpy()
+            sd[p + "norm1.bias"] = b.norm1.bias.detach().numpy()
+            sd[p + "attn.qkv.weight"] = b.qkv.weight.detach().numpy()
+            sd[p + "attn.qkv.bias"] = b.qkv.bias.detach().numpy()
+            sd[p + "attn.proj.weight"] = b.proj.weight.detach().numpy()
+            sd[p + "attn.proj.bias"] = b.proj.bias.detach().numpy()
+            sd[p + "norm2.weight"] = b.norm2.weight.detach().numpy()
+            sd[p + "norm2.bias"] = b.norm2.bias.detach().numpy()
+            sd[p + "mlp.fc1.weight"] = b.fc1.weight.detach().numpy()
+            sd[p + "mlp.fc1.bias"] = b.fc1.bias.detach().numpy()
+            sd[p + "mlp.fc2.weight"] = b.fc2.weight.detach().numpy()
+            sd[p + "mlp.fc2.bias"] = b.fc2.bias.detach().numpy()
+        sd["norm.weight"] = self.norm.weight.detach().numpy()
+        sd["norm.bias"] = self.norm.bias.detach().numpy()
+        sd["head.weight"] = self.head.weight.detach().numpy()
+        sd["head.bias"] = self.head.bias.detach().numpy()
+        return sd
+
+
+def test_vit_logits_match_torch():
+    tm = TorchViT(TINY).eval()
+    params = ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY)
+    img = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(img).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(vit.apply(params, jnp.asarray(img), TINY,
+                                compute_dtype=jnp.float32,
+                                attn_backend="xla"))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------- reference CrossAttention parity --
+
+def _reference_modules():
+    sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+    from model import module as ref_module
+    return ref_module
+
+
+def test_cross_attention_block_matches_reference():
+    ref_module = _reference_modules()
+    dim, heads, N, B = 32, 2, 17, 3
+    pre = ref_module.PreNorm(
+        dim, ref_module.CrossAttention(dim, num_heads=heads)).eval()
+
+    sd = {k: v.detach().numpy() for k, v in pre.state_dict().items()}
+    p = {
+        "norm": {"scale": jnp.asarray(sd["norm.weight"]),
+                 "bias": jnp.asarray(sd["norm.bias"])},
+        "wq": {"w": jnp.asarray(sd["fn.wq.weight"]).T},
+        "wk": {"w": jnp.asarray(sd["fn.wk.weight"]).T},
+        "wv": {"w": jnp.asarray(sd["fn.wv.weight"]).T},
+        "proj": {"w": jnp.asarray(sd["fn.proj.weight"]).T,
+                 "b": jnp.asarray(sd["fn.proj.bias"])},
+    }
+    x = np.random.default_rng(1).normal(size=(B, N, dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = pre(torch.tensor(x)).numpy()
+    ours = np.asarray(fusion._cross_attn_block(p, jnp.asarray(x), heads))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------- reference Fus_CrossViT head parity --
+
+def _import_reference_fusion():
+    """Import the reference fusion model with timm stubbed out."""
+    if "timm.models.layers" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        def trunc_normal_(tensor, std=1.0):
+            with torch.no_grad():
+                tensor.normal_(0, std).clamp_(-2 * std, 2 * std)
+            return tensor
+
+        layers.trunc_normal_ = trunc_normal_
+        layers.DropPath = nn.Identity
+        layers.to_2tuple = lambda x: (x, x)
+        timm.models = models
+        models.layers = layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+    sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+    import importlib
+    mod = importlib.import_module(
+        "model.crossvit_2vits_2additionaloutputs_changenormlayer_location_"
+        "removeextralclayer_changemodelinputlocation_std002_sum")
+    return mod
+
+
+class _FakeViT(nn.Module):
+    """Stands in for vits_returnftrs: .features3D returns fixed tokens,
+    __call__ returns fixed logits."""
+
+    def __init__(self, tokens, logits):
+        super().__init__()
+        self._tokens = torch.tensor(tokens)
+        self._logits = torch.tensor(logits)
+
+    def features3D(self, x):
+        return self._tokens
+
+    def forward(self, x):
+        return self._logits
+
+
+def test_fusion_head_matches_reference():
+    mod = _import_reference_fusion()
+    rng = np.random.default_rng(2)
+    B, N, dim = 2, 17, 384
+    tok_cxr = rng.normal(size=(B, N, dim)).astype(np.float32)
+    tok_enh = rng.normal(size=(B, N, dim)).astype(np.float32)
+    logit = rng.normal(size=(B, 3)).astype(np.float32)
+
+    ref_model = mod.Fus_CrossViT(
+        _FakeViT(tok_cxr, logit), _FakeViT(tok_enh, logit)).eval()
+    dummy = torch.zeros(B, 3, 224, 224)
+    with torch.no_grad():
+        ref_fused, _, _ = ref_model(ref_model.vit_features_cxr.__self__,
+                                    ref_model.vit_features_enh.__self__,
+                                    dummy, dummy)
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    fparams = ckpt.torch_fusion_to_params(sd)
+    ours = np.asarray(fusion.apply(fparams, jnp.asarray(tok_cxr),
+                                   jnp.asarray(tok_enh), heads=3))
+    np.testing.assert_allclose(ours, ref_fused.numpy(), rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------- checkpoint surgery -----
+
+def test_moco_checkpoint_surgery(tmp_path):
+    tm = TorchViT(TINY)
+    sd = {"module.base_encoder." + k: torch.tensor(v)
+          for k, v in tm.state_dict_vits_names().items()
+          if not k.startswith("head.")}
+    # projector MLP standing in for the replaced head (must be dropped)
+    sd["module.base_encoder.head.0.weight"] = torch.zeros(8, TINY.dim)
+    sd["module.momentum_encoder.cls_token"] = torch.zeros(1, 1, TINY.dim)
+    path = tmp_path / "checkpoint.pth.tar"
+    torch.save({"epoch": 3, "state_dict": sd}, path)
+
+    params = ckpt.load_moco_pretrained_backbone(str(path), TINY)
+    assert "head" not in params
+    np.testing.assert_allclose(
+        np.asarray(params["cls"]), tm.cls_token.detach().numpy())
+    assert len(params["blocks"]) == TINY.depth

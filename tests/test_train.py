@@ -1,0 +1,196 @@
+"""Train subsystem tests: LARS math, schedules, LP freezing, jitted steps,
+metric parity with sklearn."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mfvit_tpu.nn import vit
+from mfvit_tpu.models import fusion
+from mfvit_tpu.train import metrics, optim, steps
+
+TINY = vit.ViTConfig("tiny", img_size=32, patch=16, dim=32, depth=2, heads=2)
+
+
+# ------------------------------------------------------------------ LARS
+
+def test_lars_matches_reference_math():
+    # Reference semantics (moco/optimizer.py): ndim>1 params get
+    # wd + trust scaling; <=1-D get the raw grad; then mu=mu*mom+dp,
+    # p -= lr*mu.
+    lr, wd, mom, tc = 0.1, 0.01, 0.9, 0.001
+    params = {"w": jnp.array([[1.0, 2.0], [3.0, 4.0]]), "b": jnp.array([0.5])}
+    grads = {"w": jnp.array([[0.1, 0.2], [0.3, 0.4]]), "b": jnp.array([1.0])}
+    tx = optim.lars(lr, wd, mom, tc)
+    state = tx.init(params)
+    updates, state = tx.update(grads, state, params)
+
+    w, gw = np.array(params["w"]), np.array(grads["w"])
+    dp = gw + wd * w
+    q = tc * np.linalg.norm(w) / np.linalg.norm(dp)
+    np.testing.assert_allclose(np.array(updates["w"]), -lr * (dp * q), rtol=1e-6)
+    np.testing.assert_allclose(np.array(updates["b"]), -lr * 1.0, rtol=1e-6)
+
+    # second step accumulates momentum
+    updates2, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.array(updates2["b"]),
+                               -lr * (mom * 1.0 + 1.0), rtol=1e-6)
+
+
+def test_lars_zero_param_norm_uses_unit_trust():
+    tx = optim.lars(1.0, 0.1, 0.0, 0.001)
+    params = {"w": jnp.zeros((2, 2))}
+    grads = {"w": jnp.ones((2, 2))}
+    updates, _ = tx.update(grads, tx.init(params), params)
+    np.testing.assert_allclose(np.array(updates["w"]), -np.ones((2, 2)))
+
+
+# ------------------------------------------------------------- schedules
+
+def test_scaled_init_lr_rules():
+    assert optim.scaled_init_lr(1.5e-4, 16, cos=True, entry="pretrain") == \
+        pytest.approx(1.5e-4 * 4)           # lr*bs/4, pretrain :288
+    assert optim.scaled_init_lr(3.0, 16, cos=True, entry="finetune") == \
+        pytest.approx(3.0 * 2)              # lr*bs/8, finetune :345
+    assert optim.scaled_init_lr(3.0, 16, cos=False, entry="finetune") == 3.0
+
+
+def test_pretrain_cosine_warmup():
+    s = optim.pretrain_cosine_lr(1.0, epochs=30, warmup_epochs=4,
+                                 steps_per_epoch=10)
+    assert float(s(0)) == 0.0
+    assert float(s(20)) == pytest.approx(0.5)    # epoch 2 of 4 warmup
+    assert float(s(40)) == pytest.approx(1.0)    # end of warmup
+    assert float(s(170)) == pytest.approx(0.5)   # midpoint of cosine
+    assert float(s(300)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_finetune_schedules():
+    cos = optim.finetune_lr(2.0, epochs=90, cos=True, steps_per_epoch=5)
+    assert float(cos(0)) == pytest.approx(2.0)
+    assert float(cos(45 * 5)) == pytest.approx(1.0)
+    step = optim.finetune_lr(1.0, epochs=90, cos=False, schedule=[30, 60],
+                             steps_per_epoch=1)
+    assert float(step(29)) == pytest.approx(1.0)
+    assert float(step(30)) == pytest.approx(0.1)
+    assert float(step(60)) == pytest.approx(0.01)
+
+
+def test_moco_momentum_ramp():
+    assert float(optim.moco_momentum(0.0, 0.99, 30)) == pytest.approx(0.99)
+    assert float(optim.moco_momentum(30.0, 0.99, 30)) == pytest.approx(1.0)
+    assert float(optim.moco_momentum(15.0, 0.99, 30)) == pytest.approx(0.995)
+
+
+# ----------------------------------------------------------- LP freezing
+
+def test_head_only_mask_and_freeze(rng):
+    params = vit.init(rng, TINY, num_classes=3)
+    mask = optim.head_only_mask(params)
+    leaves_mask = jax.tree_util.tree_leaves(mask)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert len(leaves_mask) == len(leaves)
+    assert sum(leaves_mask) == 2  # head w + b only
+
+    tx = optim.build_optimizer("sgd", 0.1, weight_decay=1e-4,
+                               trainable_mask=mask)
+    train_step, _ = steps.make_classifier_steps(TINY, tx,
+                                                compute_dtype=jnp.float32,
+                                                attn_backend="xla")
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    labels = jnp.array([0, 1, 2, 0])
+    before = jax.tree.map(lambda x: np.array(x), params)
+    state = tx.init(params)
+    params2, state, loss, logits = train_step(params, state, imgs, labels)
+    # sanity_check equivalent: body bit-identical, head moved
+    for blk_b, blk_a in zip(before["blocks"], params2["blocks"]):
+        np.testing.assert_array_equal(blk_b["qkv"]["w"], np.array(blk_a["qkv"]["w"]))
+    np.testing.assert_array_equal(before["patch"]["w"],
+                                  np.array(params2["patch"]["w"]))
+    assert not np.array_equal(before["head"]["w"], np.array(params2["head"]["w"]))
+
+
+# ---------------------------------------------------------------- steps
+
+def test_classifier_training_reduces_loss(rng):
+    params = vit.init(rng, TINY, num_classes=3)
+    tx = optim.build_optimizer("sgd", 0.05)
+    train_step, eval_step = steps.make_classifier_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla")
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.array([0, 1, 2, 0, 1, 2, 0, 1])
+    state = tx.init(params)
+    losses = []
+    for _ in range(10):
+        params, state, loss, _ = train_step(params, state, imgs, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    logits = eval_step(params, imgs)
+    assert logits.shape == (8, 3) and logits.dtype == jnp.float32
+
+
+def test_fusion_step_runs_and_learns(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {
+        "cxr": vit.init(k1, TINY, num_classes=3),
+        "enh": vit.init(k2, TINY, num_classes=3),
+        "fus": fusion.init(k3, num_classes=3, dim=TINY.dim, heads=2),
+    }
+    tx = optim.build_optimizer("adam", 1e-3)
+    train_step, eval_step = steps.make_fusion_steps(
+        TINY, tx, heads=2, compute_dtype=jnp.float32, attn_backend="xla")
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (4, 32, 32, 3))
+    labels = jnp.array([0, 1, 2, 0])
+    state = tx.init(params)
+    first = None
+    for i in range(8):
+        params, state, loss, out = train_step(params, state, imgs, imgs, labels)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+    assert eval_step(params, imgs, imgs).shape == (4, 3)
+
+
+# --------------------------------------------------------------- metrics
+
+def test_auc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(200, 3))
+    labels = rng.integers(0, 3, 200)
+    ours = metrics.macro_ovr_auc(logits, labels)
+    skl = np.mean([roc_auc_score((labels == c).astype(int), logits[:, c])
+                   for c in range(3)])
+    assert ours == pytest.approx(skl, abs=1e-10)
+    # with ties
+    logits_t = np.round(logits, 1)
+    ours_t = metrics.macro_ovr_auc(logits_t, labels)
+    skl_t = np.mean([roc_auc_score((labels == c).astype(int), logits_t[:, c])
+                     for c in range(3)])
+    assert ours_t == pytest.approx(skl_t, abs=1e-10)
+
+
+def test_prf1_matches_sklearn():
+    from sklearn.metrics import precision_recall_fscore_support
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(100, 3))
+    labels = rng.integers(0, 3, 100)
+    ours = metrics.precision_recall_f1(logits, labels)
+    p, r, f, _ = precision_recall_fscore_support(
+        labels, logits.argmax(-1), average="macro", zero_division=0)
+    assert ours["precision"] == pytest.approx(p)
+    assert ours["recall"] == pytest.approx(r)
+    assert ours["f1"] == pytest.approx(f)
+
+
+def test_meters():
+    m = metrics.AverageMeter("loss", ":.2f")
+    m.update(1.0, n=2)
+    m.update(2.0, n=2)
+    assert m.avg == pytest.approx(1.5)
+    pm = metrics.ProgressMeter(100, [m], prefix="Epoch: [0]")
+    pm.display(5)  # smoke
+    assert metrics.top1_acc(np.eye(3), np.array([0, 1, 2])) == 1.0
+    assert metrics.topk_acc(np.array([[0.1, 0.9, 0.5]]), np.array([2]), k=2) == 1.0
