@@ -1,0 +1,78 @@
+"""Benchmark: MF-ViT CA paired-inference throughput on one chip.
+
+Measures the flagship path from BASELINE.json — two ViT-S/16 branches over
+paired CXR+Enh 224px images, CLS cross-attention fusion, summed dual heads,
+one jitted forward (bf16 compute, fp32 logits, Pallas attention on TPU) —
+and prints ONE JSON line:
+  {"metric": ..., "value": pairs/sec, "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is the ratio against the driver-set target of 5,000
+CXR+Enh pairs/sec/chip (BASELINE.md; the reference publishes no throughput
+numbers of its own).
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.models import fusion
+from mfvit_tpu.nn import vit
+
+TARGET_PAIRS_PER_SEC = 5000.0
+
+
+def bench(batch: int, iters: int = 10, warmup: int = 2) -> float:
+    import numpy as np
+
+    cfg = vit.get_config("vit_small")
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    vp_c = vit.init(k1, cfg, num_classes=3)
+    vp_e = vit.init(k2, cfg, num_classes=3)
+    fp = fusion.init(k3, num_classes=3)
+    img_c = jax.random.normal(k4, (batch, 224, 224, 3), jnp.bfloat16)
+    img_e = jax.random.normal(k4, (batch, 224, 224, 3), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(vp_c, vp_e, fp, a, b):
+        fused, lc, le = fusion.fused_forward(vp_c, vp_e, fp, a, b, cfg)
+        return fused + lc + le
+
+    # Each iteration fetches the (batch, 3) logits to host: through the
+    # axon tunnel, execution is deferred until a result is consumed, so
+    # block_until_ready alone under-measures; the tiny D2H also mirrors
+    # real inference (logits must reach the host).
+    for _ in range(warmup):
+        np.asarray(fwd(vp_c, vp_e, fp, img_c, img_e))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(fwd(vp_c, vp_e, fp, img_c, img_e))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    batches = [128, 256, 512] if platform == "tpu" else [8]
+    best = 0.0
+    best_b = 0
+    for b in batches:
+        try:
+            v = bench(b)
+        except Exception as e:  # OOM at large batch etc.
+            print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
+            continue
+        print(f"# batch {b}: {v:.0f} pairs/sec", file=sys.stderr)
+        if v > best:
+            best, best_b = v, b
+    print(json.dumps({
+        "metric": "mfvit_ca_paired_inference_throughput",
+        "value": round(best, 1),
+        "unit": f"CXR+Enh pairs/sec/chip (batch {best_b}, {platform})",
+        "vs_baseline": round(best / TARGET_PAIRS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

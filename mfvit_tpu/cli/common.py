@@ -1,0 +1,130 @@
+"""Shared CLI plumbing for the entry points.
+
+Argument surface mirrors the reference mains' argparse flags (pretrain
+:65-174, finetune :58-158, fusion :63-168) minus the CUDA/DDP process
+flags, which are replaced by mesh options (SURVEY §2.6: the TPU runtime is
+single-controller — no ranks, no dist-url, no mp.spawn).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.data import datasets, host_transforms as ht, pipeline
+from mfvit_tpu.nn import vit as vit_mod
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-a", "--arch", default="vit_small",
+                   choices=sorted(vit_mod.CONFIGS) + ["vit_test"])
+    p.add_argument("-j", "--workers", default=8, type=int)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("-b", "--batch-size", default=16, type=int)
+    p.add_argument("--lr", "--learning-rate", default=0.6, type=float,
+                   dest="lr")
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--wd", "--weight-decay", default=1e-6, type=float,
+                   dest="weight_decay")
+    p.add_argument("-p", "--print-freq", default=10, type=int)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--seed", default=None, type=int)
+    p.add_argument("--exp-name", dest="exp_name", type=str, default="exp")
+    p.add_argument("--storage-root", type=str, default=None,
+                   help="experiment storage root (MFVIT_STORAGE_ROOT)")
+    p.add_argument("--aug-setting", default="chexpert",
+                   choices=["moco_v1", "moco_v2", "chexpert"])
+    p.add_argument("--img-size", dest="img_size", type=int, default=224)
+    p.add_argument("--crop", dest="crop", type=int, default=224)
+    p.add_argument("--maintain-ratio", dest="maintain_ratio",
+                   action="store_true")
+    p.add_argument("--rotate", dest="rotate", default=10, type=float,
+                   nargs="?", const=1.0,
+                   help="rotation degrees; bare flag = ±1° (the reference "
+                        "finetune bool quirk, SURVEY §2.4)")
+    p.add_argument("--cos", action="store_true")
+    p.add_argument("--schedule", default=[12, 18, 24], nargs="*", type=int)
+    p.add_argument("--covid-ds", dest="covid_ds", type=str,
+                   default="create_covid_dataset",
+                   help="folder with split manifests + val_ds/test_ds")
+    p.add_argument("--semi-ratios", nargs="*", type=float, default=[1.0],
+                   help="labeled fractions (ALL_SEMI_RATIO)")
+    p.add_argument("--draws", type=int, default=None,
+                   help="override #draws per ratio")
+    p.add_argument("--attn-backend", default=None,
+                   choices=[None, "auto", "pallas", "xla"],
+                   help="attention kernel backend")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--aug-device", action="store_true", default=True,
+                   help="device-fused augmentation (default)")
+    p.add_argument("--aug-host", dest="aug_device", action="store_false",
+                   help="full host-side torchvision-parity augmentation")
+    p.add_argument("--mesh-devices", type=int, default=None,
+                   help="#devices in the data mesh (default: all)")
+
+
+def get_arch(args) -> vit_mod.ViTConfig:
+    if args.arch == "vit_test":  # tiny config for smoke tests
+        return vit_mod.ViTConfig("vit_test", img_size=args.img_size,
+                                 patch=16, dim=32, depth=2, heads=2)
+    return vit_mod.get_config(args.arch, args.img_size)
+
+
+def compute_dtype(args):
+    return jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+
+def ratio_tag(ratio: float):
+    return int(ratio) if float(ratio) == int(ratio) else ratio
+
+
+def make_covid_loader(args, manifest_path: str, folder: str, *,
+                      training: bool, paired: bool = False,
+                      batch_size: Optional[int] = None,
+                      seed: int = 0) -> pipeline.BatchLoader:
+    """Build a loader over a COVID manifest.
+
+    Device-aug mode ('the TPU path'): datasets yield uint8 canvases; the
+    caller applies device_aug.augment_batch inside its step. Host mode:
+    full per-sample torchvision-parity transform on the host."""
+    bs = batch_size or args.batch_size
+    if args.aug_device:
+        def tf(seed_off):
+            return ht.CanvasTransform(img_size=args.img_size,
+                                      training=training,
+                                      maintain_ratio=args.maintain_ratio,
+                                      seed=seed + seed_off)
+        if paired:
+            ds = datasets.CovidPairedDataset(manifest_path, tf(0), tf(1))
+        else:
+            ds = datasets.CovidDataset(folder, manifest_path, tf(0))
+    else:
+        def tf2(img_type, seed_off):
+            return ht.ChexpertTransform(
+                img_size=args.img_size, crop=args.crop, img_type=img_type,
+                training=training, maintain_ratio=args.maintain_ratio,
+                rotate_deg=float(args.rotate), seed=seed + seed_off)
+        if paired:
+            ds = datasets.CovidPairedDataset(manifest_path, tf2("data", 0),
+                                             tf2("Train_Mix", 1))
+        else:
+            ds = datasets.CovidDataset(folder, manifest_path, tf2(folder, 0))
+    return pipeline.BatchLoader(ds, bs, shuffle=training, seed=seed,
+                                drop_last=training,
+                                pad_final=not training,
+                                num_workers=args.workers)
+
+
+def host_rng(args) -> np.random.Generator:
+    return np.random.default_rng(args.seed if args.seed is not None else 0)
+
+
+def jax_key(args) -> jax.Array:
+    return jax.random.PRNGKey(args.seed if args.seed is not None else 0)

@@ -1,0 +1,214 @@
+"""Linear-probe / full-finetune entry point.
+
+TPU-native rebuild of the reference LP/FT main
+(/root/reference/main_vit_covid_test_val_single_img_type_5draws_rev_v2loss_
+v3structure_vitsmall.py, SURVEY §3.2): per (ratio, draw) — fresh ViT with a
+new N(0, 0.01) head, optional MoCo checkpoint surgery, LP freeze (all but
+head) unless ``--semi-supervised``, SGD/Adam with per-epoch cosine or
+milestone LR, train+val each epoch, test on val-AUC improvement with
+best-AUC and best-ACC checkpoints, and a final frozen-backbone sanity
+check. Metrics: macro one-vs-rest ROC-AUC on raw logits + top-1.
+
+Usage mirrors the README recipe:
+  python -m mfvit_tpu.cli.finetune -a vit_small --lr 3 --batch-size 16 \
+      --epochs 90 --optimizer sgd --cos --maintain-ratio --rotate \
+      --aug-setting chexpert --pretrained <moco_ckpt> [--semi-supervised]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.cli import common
+from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.exp import checkpoint as ckpt_mod
+from mfvit_tpu.exp import harness, storage
+from mfvit_tpu.nn import vit as vit_mod
+from mfvit_tpu.train import metrics, optim, steps
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mfvit-finetune")
+    common.add_common_args(p)
+    p.add_argument("--optimizer", default="sgd",
+                   choices=["sgd", "adam", "adamw", "lars"])
+    p.add_argument("--pretrained", default="", type=str,
+                   help="MoCo checkpoint (.pth.tar via torch surgery, or "
+                        "orbax dir)")
+    p.add_argument("--semi-supervised", dest="semi_supervised",
+                   action="store_true",
+                   help="full finetune (train the whole backbone)")
+    p.add_argument("--folder", default="data",
+                   help="image flavor folder (data | Train_Mix)")
+    p.add_argument("--num-classes", type=int, default=3)
+    p.set_defaults(epochs=90, lr=3.0, batch_size=16)
+    return p
+
+
+def load_backbone(args, cfg) -> Optional[dict]:
+    if not args.pretrained:
+        return None
+    if args.pretrained.endswith((".pth", ".pth.tar", ".pt")):
+        return ckpt_mod.load_moco_pretrained_backbone(args.pretrained, cfg)
+    like = vit_mod.init(jax.random.PRNGKey(0), cfg, num_classes=0)
+    return ckpt_mod.restore(args.pretrained, like=like)
+
+
+def evaluate(eval_step, params, loader, args, *, n_total: int):
+    """Run the eval phase; returns (auc, acc, loss, logits, labels)."""
+    all_logits, all_labels = [], []
+    seen = 0
+    for batch in loader:
+        canv, labels = batch[0], batch[-1]
+        x = device_aug.augment_batch(
+            jax.random.PRNGKey(0), jnp.asarray(canv),
+            img_type=args.folder, training=False,
+            out_dtype=common.compute_dtype(args)) if args.aug_device \
+            else jnp.asarray(canv, common.compute_dtype(args))
+        logits = np.asarray(eval_step(params, x))
+        take = min(len(logits), n_total - seen)
+        all_logits.append(logits[:take])
+        all_labels.append(np.asarray(labels)[:take])
+        seen += take
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    auc = metrics.macro_ovr_auc(logits, labels, args.num_classes)
+    acc = metrics.top1_acc(logits, labels)
+    loss = float(np.mean(
+        -np.take_along_axis(
+            jax.nn.log_softmax(jnp.asarray(logits), -1), labels[:, None], -1)))
+    return auc, acc, loss, logits, labels
+
+
+def train_one_draw_fn(args, cfg):
+    val_man, test_man = mf.eval_manifest_paths(args.covid_ds)
+
+    def train_one_draw(ratio, draw, sub_folder, writer):
+        key = common.jax_key(args)
+        k_init, k_head, k_aug = jax.random.split(
+            jax.random.fold_in(key, draw), 3)
+
+        params = vit_mod.init(k_init, cfg, num_classes=args.num_classes)
+        backbone = load_backbone(args, cfg)
+        if backbone is not None:
+            head = params["head"]
+            params = dict(backbone)
+            params["head"] = head  # fresh N(0,.01) head (finetune :290-296)
+        pretrained_snapshot = None
+        mask = None
+        if not args.semi_supervised:
+            mask = optim.head_only_mask(params)
+            pretrained_snapshot = jax.tree.map(np.asarray, params)
+
+        train_man = (mf.split_manifest_path(args.covid_ds, ratio, draw)
+                     if float(ratio) != 1.0 else
+                     mf.split_manifest_path(args.covid_ds, 1, 0))
+        tl = common.make_covid_loader(args, train_man, args.folder,
+                                      training=True, seed=draw)
+        vl = common.make_covid_loader(args, val_man, args.folder,
+                                      training=False, seed=0)
+        sl = common.make_covid_loader(args, test_man, args.folder,
+                                      training=False, seed=0)
+        steps_per_epoch = max(len(tl), 1)
+
+        init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
+                                       cos=args.cos, entry="finetune")
+        sched = optim.finetune_lr(init_lr, args.epochs, cos=args.cos,
+                                  schedule=args.schedule,
+                                  steps_per_epoch=steps_per_epoch)
+        tx = optim.build_optimizer(args.optimizer, sched,
+                                   weight_decay=args.weight_decay,
+                                   momentum=args.momentum,
+                                   trainable_mask=mask)
+        train_step, eval_step = steps.make_classifier_steps(
+            cfg, tx, compute_dtype=common.compute_dtype(args),
+            attn_backend=args.attn_backend)
+        opt_state = tx.init(params)
+
+        best = ckpt_mod.BestKeeper(sub_folder, mode="max")
+        best_acc = ckpt_mod.BestKeeper(
+            storage.get_storage_sub_folder(sub_folder.parent, ratio, draw,
+                                           acc=True), mode="max")
+        result = harness.DrawResult(ratio, draw)
+        n_val = len(vl.ds)
+        n_test = len(sl.ds)
+
+        for epoch in range(args.start_epoch, args.epochs):
+            ep_loss = metrics.AverageMeter("loss", ":.4f")
+            for i, (canv, labels) in enumerate(tl):
+                k_aug, k_b = jax.random.split(k_aug)
+                if args.aug_device:
+                    x = device_aug.augment_batch(
+                        k_b, jnp.asarray(canv), img_type=args.folder,
+                        training=True, rotate_deg=float(args.rotate),
+                        out_dtype=common.compute_dtype(args))
+                else:
+                    x = jnp.asarray(canv, common.compute_dtype(args))
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, x, jnp.asarray(labels))
+                ep_loss.update(float(loss), len(labels))
+            val_auc, val_acc, val_loss, _, _ = evaluate(
+                eval_step, params, vl, args, n_total=n_val)
+            if writer is not None:
+                writer.add_scalar("train/loss", ep_loss.avg, epoch)
+                writer.add_scalar("val/auc", val_auc, epoch)
+                writer.add_scalar("val/acc", val_acc, epoch)
+                writer.add_scalar("val/loss", val_loss, epoch)
+            print(f"[ratio {ratio} draw {draw}] epoch {epoch}: "
+                  f"train loss {ep_loss.avg:.4f} val auc {val_auc:.4f} "
+                  f"acc {val_acc:.4f}")
+            # test on val-AUC improvement, keep best-AUC / best-ACC ckpts
+            if best.update(val_auc, params):
+                t_auc, t_acc, _, _, _ = evaluate(eval_step, params, sl, args,
+                                                 n_total=n_test)
+                result.test_auc, result.test_acc = t_auc, t_acc
+                if writer is not None:
+                    writer.add_scalar("test/auc", t_auc, epoch)
+                    writer.add_scalar("test/acc", t_acc, epoch)
+            best_acc.update(val_acc, params, save_last=False)
+
+        # sanity check: frozen backbone identical to the loaded checkpoint
+        # (finetune :841-866)
+        if pretrained_snapshot is not None:
+            flat_now = {str(k): v for k, v in
+                        jax.tree_util.tree_leaves_with_path(params)}
+            flat_pre = {str(k): v for k, v in
+                        jax.tree_util.tree_leaves_with_path(pretrained_snapshot)}
+            for k_, v in flat_pre.items():
+                if "head" in k_:
+                    continue
+                assert np.array_equal(np.asarray(flat_now[k_]), v), \
+                    f"sanity check failed at {k_}"
+            print("=> sanity check passed.")
+        return result
+
+    return train_one_draw
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = common.get_arch(args)
+    exp_type = "finetune" if args.semi_supervised else "linear_probe"
+    folder = storage.get_storage_folder(args.exp_name, exp_type,
+                                        root=args.storage_root)
+    harness.snapshot_args(folder, args)
+    iterations = ({r: args.draws for r in args.semi_ratios}
+                  if args.draws else None)
+    ratios = [common.ratio_tag(r) for r in args.semi_ratios]
+    results = harness.run_draws(folder, ratios,
+                                train_one_draw_fn(args, cfg),
+                                iterations=iterations)
+    for r in results:
+        print(f"ratio {r.ratio} draw {r.draw}: "
+              f"test auc {r.test_auc:.4f} acc {r.test_acc:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""MF-ViT CA fusion entry point.
+
+TPU-native rebuild of the reference fusion main
+(/root/reference/main_vit_covid_test_val_..._crossvit_2vits_2additionaloutputs_
+trainval_sum.py, SURVEY §3.3): two ViT-S branches initialized from
+per-branch finetuned checkpoints, CLS cross-attention fusion head, decision
+logits = fused + cxr + enh (:868), LP-style freeze of the ViT bodies unless
+``--semi-supervised``, per-epoch cosine LR, best-val-AUC checkpointing, and
+a paired CXR+Enh dataset that is jointly indexed by construction (fixing
+the reference's fragile dual-loader zip, :834-845).
+
+Usage mirrors the README recipe:
+  python -m mfvit_tpu.cli.fuse -a vit_small --batch-size 32 --lr 1.5e-4 \
+      --cos --epochs 25 --maintain-ratio --rotate --aug-setting chexpert \
+      --pretrained-cxr <ckpt> --pretrained-enh <ckpt>
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.cli import common
+from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.exp import checkpoint as ckpt_mod
+from mfvit_tpu.exp import harness, storage
+from mfvit_tpu.models import fusion as fusion_mod
+from mfvit_tpu.nn import vit as vit_mod
+from mfvit_tpu.train import metrics, optim, steps
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mfvit-fuse")
+    common.add_common_args(p)
+    p.add_argument("--optimizer", default="adam",
+                   choices=["sgd", "adam", "adamw"])
+    p.add_argument("--pretrained-cxr", default="", type=str,
+                   help="finetuned CXR-branch ckpt (.pth.tar or orbax); "
+                        "may contain {ratio}/{draw} placeholders")
+    p.add_argument("--pretrained-enh", default="", type=str)
+    p.add_argument("--semi-supervised", dest="semi_supervised",
+                   action="store_true")
+    p.add_argument("--fusion-heads", type=int, default=3)
+    p.add_argument("--cross-attn-depth", type=int, default=1)
+    p.add_argument("--multi-scale-enc-depth", type=int, default=1)
+    p.add_argument("--num-classes", type=int, default=3)
+    p.set_defaults(epochs=25, lr=1.5e-4, batch_size=32)
+    return p
+
+
+def load_branch(path: str, cfg, ratio, draw) -> Optional[dict]:
+    if not path:
+        return None
+    path = path.format(ratio=ratio, draw=draw)
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        # strict full load of a finetuned single-branch model (fusion main
+        # :337-390); keys are plain vits.py names (no module. prefix after
+        # single-GPU finetune)
+        sd = ckpt_mod.load_torch_state_dict(path)
+        if any(k.startswith("module.") for k in sd):
+            sd = ckpt_mod.strip_prefix(sd, "module.")
+        return ckpt_mod.torch_vit_to_params(sd, cfg)
+    like = vit_mod.init(jax.random.PRNGKey(0), cfg, num_classes=3)
+    return ckpt_mod.restore(path, like=like)
+
+
+def evaluate(eval_step, params, loader, args, *, n_total: int):
+    all_logits, all_labels = [], []
+    seen = 0
+    dt = common.compute_dtype(args)
+    for cxr, enh, labels in loader:
+        if args.aug_device:
+            xc = device_aug.augment_batch(jax.random.PRNGKey(0),
+                                          jnp.asarray(cxr), img_type="data",
+                                          training=False, out_dtype=dt)
+            xe = device_aug.augment_batch(jax.random.PRNGKey(0),
+                                          jnp.asarray(enh),
+                                          img_type="Train_Mix",
+                                          training=False, out_dtype=dt)
+        else:
+            xc, xe = jnp.asarray(cxr, dt), jnp.asarray(enh, dt)
+        logits = np.asarray(eval_step(params, xc, xe))
+        take = min(len(logits), n_total - seen)
+        all_logits.append(logits[:take])
+        all_labels.append(np.asarray(labels)[:take])
+        seen += take
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    return (metrics.macro_ovr_auc(logits, labels, args.num_classes),
+            metrics.top1_acc(logits, labels))
+
+
+def train_one_draw_fn(args, cfg):
+    val_man, test_man = mf.eval_manifest_paths(args.covid_ds)
+
+    def train_one_draw(ratio, draw, sub_folder, writer):
+        key = jax.random.fold_in(common.jax_key(args), draw)
+        k1, k2, k3, k_aug = jax.random.split(key, 4)
+        params = {
+            "cxr": vit_mod.init(k1, cfg, num_classes=args.num_classes),
+            "enh": vit_mod.init(k2, cfg, num_classes=args.num_classes),
+            "fus": fusion_mod.init(
+                k3, num_classes=args.num_classes, dim=cfg.dim,
+                heads=args.fusion_heads,
+                cross_attn_depth=args.cross_attn_depth,
+                multi_scale_enc_depth=args.multi_scale_enc_depth),
+        }
+        for branch, path in (("cxr", args.pretrained_cxr),
+                             ("enh", args.pretrained_enh)):
+            loaded = load_branch(path, cfg, ratio, draw)
+            if loaded is not None:
+                params[branch] = loaded
+
+        mask = None
+        if not args.semi_supervised:
+            # ViT bodies frozen, branch heads + fusion trainable
+            # (fusion main :297-313)
+            mask = {
+                "cxr": optim.head_only_mask(params["cxr"]),
+                "enh": optim.head_only_mask(params["enh"]),
+                "fus": jax.tree.map(lambda _: True, params["fus"]),
+            }
+
+        train_man = (mf.split_manifest_path(args.covid_ds, ratio, draw)
+                     if float(ratio) != 1.0 else
+                     mf.split_manifest_path(args.covid_ds, 1, 0))
+        tl = common.make_covid_loader(args, train_man, "data", training=True,
+                                      paired=True, seed=draw)
+        vl = common.make_covid_loader(args, val_man, "data", training=False,
+                                      paired=True, seed=0)
+        sl = common.make_covid_loader(args, test_man, "data", training=False,
+                                      paired=True, seed=0)
+        steps_per_epoch = max(len(tl), 1)
+
+        init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
+                                       cos=args.cos, entry="fusion")
+        sched = optim.finetune_lr(init_lr, args.epochs, cos=args.cos,
+                                  schedule=args.schedule,
+                                  steps_per_epoch=steps_per_epoch)
+        tx = optim.build_optimizer(args.optimizer, sched,
+                                   weight_decay=args.weight_decay,
+                                   momentum=args.momentum,
+                                   trainable_mask=mask)
+        train_step, eval_step = steps.make_fusion_steps(
+            cfg, tx, heads=args.fusion_heads,
+            compute_dtype=common.compute_dtype(args),
+            attn_backend=args.attn_backend)
+        opt_state = tx.init(params)
+
+        best = ckpt_mod.BestKeeper(sub_folder, mode="max")
+        result = harness.DrawResult(ratio, draw)
+        dt = common.compute_dtype(args)
+        n_val, n_test = len(vl.ds), len(sl.ds)
+
+        for epoch in range(args.start_epoch, args.epochs):
+            ep_loss = metrics.AverageMeter("loss", ":.4f")
+            for cxr, enh, labels in tl:
+                k_aug, ka, kb = jax.random.split(k_aug, 3)
+                if args.aug_device:
+                    xc = device_aug.augment_batch(
+                        ka, jnp.asarray(cxr), img_type="data", training=True,
+                        rotate_deg=float(args.rotate), out_dtype=dt)
+                    xe = device_aug.augment_batch(
+                        kb, jnp.asarray(enh), img_type="Train_Mix",
+                        training=True, rotate_deg=float(args.rotate),
+                        out_dtype=dt)
+                else:
+                    xc, xe = jnp.asarray(cxr, dt), jnp.asarray(enh, dt)
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, xc, xe, jnp.asarray(labels))
+                ep_loss.update(float(loss), len(labels))
+            val_auc, val_acc = evaluate(eval_step, params, vl, args,
+                                        n_total=n_val)
+            if writer is not None:
+                writer.add_scalar("train/loss", ep_loss.avg, epoch)
+                writer.add_scalar("val/auc", val_auc, epoch)
+                writer.add_scalar("val/acc", val_acc, epoch)
+            print(f"[ratio {ratio} draw {draw}] epoch {epoch}: "
+                  f"loss {ep_loss.avg:.4f} val auc {val_auc:.4f} "
+                  f"acc {val_acc:.4f}")
+            if best.update(val_auc, params):
+                t_auc, t_acc = evaluate(eval_step, params, sl, args,
+                                        n_total=n_test)
+                result.test_auc, result.test_acc = t_auc, t_acc
+        return result
+
+    return train_one_draw
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = common.get_arch(args)
+    folder = storage.get_storage_folder(args.exp_name, "mfvit_ca",
+                                        root=args.storage_root)
+    harness.snapshot_args(folder, args)
+    iterations = ({common.ratio_tag(r): args.draws for r in args.semi_ratios}
+                  if args.draws else None)
+    ratios = [common.ratio_tag(r) for r in args.semi_ratios]
+    results = harness.run_draws(folder, ratios, train_one_draw_fn(args, cfg),
+                                iterations=iterations)
+    for r in results:
+        print(f"ratio {r.ratio} draw {r.draw}: "
+              f"test auc {r.test_auc:.4f} acc {r.test_acc:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""MoCo pretraining entry point ("MoCo-COVID").
+
+TPU-native rebuild of the reference pretrain main
+(/root/reference/main_covid_mocov3based_single_img_type_5draws_mocov3structure_
+mocov2loss_vitsmall.py, SURVEY §3.1): per (ratio, draw) — fresh MoCo state
+(v3 structure; v2 queue loss by default, ``--loss v3_symmetric`` for the
+builder_vit.py variant), LARS/AdamW/Adam, per-iteration cosine LR with
+warmup, cosine momentum ramp (``--moco-m-cos``), two augmented views per
+image, smallest-epoch-loss + final checkpoints. Data-parallel over the
+device mesh with all-gathered queue keys (replacing DDP/NCCL).
+
+Usage mirrors the README recipe:
+  python -m mfvit_tpu.cli.pretrain -a vit_small -b 16 --optimizer=adamw \
+      --lr=1.5e-4 --weight-decay=.1 --epochs=30 --warmup-epochs=4 \
+      --stop-grad-conv1 --moco-m-cos --moco-t=.2 --aug-setting chexpert \
+      --rotate 10 --cos
+"""
+from __future__ import annotations
+
+import argparse
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.cli import common
+from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.exp import checkpoint as ckpt_mod
+from mfvit_tpu.exp import harness, storage
+from mfvit_tpu.parallel import mesh as pmesh
+from mfvit_tpu.ssl import moco
+from mfvit_tpu.train import metrics, optim
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mfvit-pretrain")
+    common.add_common_args(p)
+    p.add_argument("--optimizer", default="lars",
+                   choices=["lars", "adamw", "adam", "sgd"])
+    p.add_argument("--warmup-epochs", default=10, type=int)
+    p.add_argument("--crop-min", default=0.08, type=float)
+    p.add_argument("--moco-dim", default=256, type=int)
+    p.add_argument("--moco-mlp-dim", default=4096, type=int)
+    p.add_argument("--moco-m", default=0.99, type=float)
+    p.add_argument("--moco-m-cos", action="store_true")
+    p.add_argument("--moco-t", default=1.0, type=float)
+    p.add_argument("--moco-k", default=65536, type=int,
+                   help="queue length (v2 loss)")
+    p.add_argument("--stop-grad-conv1", dest="stop_grad_conv1",
+                   action="store_true")
+    p.add_argument("--loss", default="v2_queue",
+                   choices=["v2_queue", "v3_symmetric"])
+    p.add_argument("--no-predictor-on-keys", dest="predictor_on_keys",
+                   action="store_false",
+                   help="the builder_..._noprediction_q variant")
+    p.add_argument("--folder", default="data")
+    p.add_argument("--save-epoch", type=int, default=30)
+    p.set_defaults(epochs=100, lr=0.6, batch_size=16)
+    return p
+
+
+def train_one_draw_fn(args, vit_cfg):
+    def train_one_draw(ratio, draw, sub_folder, writer):
+        cfg = moco.MoCoConfig(
+            dim=args.moco_dim, mlp_dim=args.moco_mlp_dim, K=args.moco_k,
+            T=args.moco_t, m=args.moco_m, loss=args.loss,
+            predictor_on_keys=args.predictor_on_keys,
+            stop_grad_conv1=args.stop_grad_conv1)
+
+        # pretraining uses the UNLABELED split at fractional ratios
+        # (pretrain main :377-380)
+        if float(ratio) == 1.0:
+            man = mf.split_manifest_path(args.covid_ds, 1, 0)
+        else:
+            man = mf.split_manifest_path(args.covid_ds, ratio, draw,
+                                         labeled=False)
+        tl = common.make_covid_loader(args, man, args.folder, training=True,
+                                      seed=draw)
+        steps_per_epoch = max(len(tl), 1)
+
+        mesh = pmesh.make_mesh(args.mesh_devices)
+        n_dev = mesh.shape["data"]
+        pmesh.assert_divisible(args.batch_size, mesh)
+        if cfg.loss == "v2_queue":
+            assert cfg.K % args.batch_size == 0, \
+                f"K={cfg.K} must be divisible by batch {args.batch_size}"
+
+        init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
+                                       cos=args.cos, entry="pretrain")
+        sched = (optim.pretrain_cosine_lr(init_lr, args.epochs,
+                                          args.warmup_epochs,
+                                          steps_per_epoch)
+                 if args.cos else
+                 optim.finetune_lr(init_lr, args.epochs, cos=False,
+                                   schedule=args.schedule,
+                                   steps_per_epoch=steps_per_epoch))
+        tx = optim.build_optimizer(args.optimizer, sched,
+                                   weight_decay=args.weight_decay,
+                                   momentum=args.momentum)
+
+        key = jax.random.fold_in(common.jax_key(args), draw)
+        state = moco.init(key, cfg, vit_cfg)
+        opt_state = tx.init({"base": state["base"],
+                             "predictor": state["predictor"]})
+        if n_dev > 1:
+            step = pmesh.make_moco_parallel_step(
+                cfg, vit_cfg, tx, mesh,
+                compute_dtype=common.compute_dtype(args))
+            state = pmesh.replicate(state, mesh)
+            opt_state = pmesh.replicate(opt_state, mesh)
+        else:
+            step = jax.jit(moco.make_pretrain_step(
+                cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args)),
+                donate_argnums=(0, 1))
+
+        best_loss = math.inf
+        k_aug = jax.random.fold_in(key, 1)
+        result = harness.DrawResult(ratio, draw)
+        for epoch in range(args.start_epoch, args.epochs):
+            ep_loss = metrics.AverageMeter("loss", ":.4f")
+            for i, (canv, _labels) in enumerate(tl):
+                it_epoch = epoch + i / steps_per_epoch
+                m = (float(optim.moco_momentum(it_epoch, args.moco_m,
+                                               args.epochs))
+                     if args.moco_m_cos else args.moco_m)
+                k_aug, k_b = jax.random.split(k_aug)
+                canv = jnp.asarray(canv)
+                if n_dev > 1:
+                    canv = pmesh.shard_batch(canv, mesh)
+                q, k_img = device_aug.augment_two_views(
+                    k_b, canv, img_type=args.folder,
+                    rotate_deg=float(args.rotate),
+                    out_dtype=common.compute_dtype(args))
+                state, opt_state, loss = step(state, opt_state, q, k_img,
+                                              jnp.float32(m))
+                ep_loss.update(float(loss), len(canv))
+                if writer is not None and i % args.print_freq == 0:
+                    writer.add_scalar("pretrain/loss", float(loss),
+                                      epoch * steps_per_epoch + i)
+            print(f"[ratio {ratio} draw {draw}] epoch {epoch}: "
+                  f"loss {ep_loss.avg:.4f}")
+            # smallest-epoch-loss checkpoint (pretrain :458-467) + final
+            if ep_loss.avg < best_loss:
+                best_loss = ep_loss.avg
+                ckpt_mod.save(str(sub_folder / "checkpoint_best_loss"),
+                              {"state": state, "epoch": epoch})
+            if epoch == args.epochs - 1 or (epoch + 1) % args.save_epoch == 0:
+                ckpt_mod.save(str(sub_folder / f"checkpoint_{epoch:04d}"),
+                              {"state": state, "epoch": epoch})
+        result.extra["final_loss"] = ep_loss.avg
+        result.extra["best_loss"] = best_loss
+        return result
+
+    return train_one_draw
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    vit_cfg = common.get_arch(args)
+    folder = storage.get_storage_folder(args.exp_name, "moco",
+                                        root=args.storage_root)
+    harness.snapshot_args(folder, args)
+    iterations = ({common.ratio_tag(r): args.draws for r in args.semi_ratios}
+                  if args.draws else None)
+    ratios = [common.ratio_tag(r) for r in args.semi_ratios]
+    return harness.run_draws(folder, ratios, train_one_draw_fn(args, vit_cfg),
+                             iterations=iterations, tb_prefix="tb_pretrain")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""End-to-end CLI smoke tests on a synthetic COVID dataset: pretrain ->
+finetune (LP + FT) -> fuse, each producing checkpoints and metrics."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import cv2
+
+from mfvit_tpu.data import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def covid_root(tmp_path_factory):
+    """Synthetic dataset: 24 paired images across 3 classes + manifests."""
+    root = tmp_path_factory.mktemp("covid")
+    data_root = root / "images"
+    man_root = root / "create_covid_dataset"
+    os.makedirs(man_root)
+    rng = np.random.default_rng(0)
+    names, labels = [], []
+    for folder in ("data", "Train_Mix"):
+        os.makedirs(data_root / folder)
+    for i in range(24):
+        fn = f"img_{i}.png"
+        label = i % 3
+        for folder in ("data", "Train_Mix"):
+            img = rng.integers(0, 255, (64, 72, 3), np.uint8)
+            # class-correlated signal so training can learn something
+            img[:, :, 0] = np.clip(img[:, :, 0] * 0.2 + label * 80, 0, 255)
+            cv2.imwrite(str(data_root / folder / fn), img)
+        names.append(fn)
+        labels.append(label)
+
+    mf.write_covid_manifest(str(man_root / "1_labeled_train_0.txt"),
+                            str(data_root), names[:16], labels[:16])
+    mf.write_covid_manifest(str(man_root / "0.5_labeled_train_0.txt"),
+                            str(data_root), names[:8], labels[:8])
+    mf.write_covid_manifest(str(man_root / "0.5_unlabeled_train_0.txt"),
+                            str(data_root), names[:16], labels[:16])
+    mf.write_covid_manifest(str(man_root / "val_ds.txt"),
+                            str(data_root), names[16:20], labels[16:20])
+    mf.write_covid_manifest(str(man_root / "test_ds.txt"),
+                            str(data_root), names[20:], labels[20:])
+    return root
+
+
+COMMON = ["-a", "vit_test", "--img-size", "32", "--crop", "32",
+          "--maintain-ratio", "--compute-dtype", "float32",
+          "--attn-backend", "xla", "-j", "2", "--seed", "0"]
+
+
+def test_pretrain_cli(covid_root):
+    from mfvit_tpu.cli import pretrain
+    out = covid_root / "exp_pre"
+    results = pretrain.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "smoke",
+        "-b", "8", "--epochs", "2", "--warmup-epochs", "1", "--cos",
+        "--lr", "1e-3", "--optimizer", "adamw", "--wd", "0.1",
+        "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "32",
+        "--moco-t", "0.2", "--moco-m-cos", "--stop-grad-conv1",
+        "--semi-ratios", "1"])
+    assert len(results) == 1
+    assert np.isfinite(results[0].extra["final_loss"])
+    exp = next(out.iterdir())
+    sub = exp / "train_1_0"
+    assert (sub / "checkpoint_best_loss").exists()
+    assert (exp / "commandline_args.txt").exists()
+
+
+def test_pretrain_cli_v3_loss_unlabeled_split(covid_root):
+    from mfvit_tpu.cli import pretrain
+    out = covid_root / "exp_pre3"
+    results = pretrain.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "smoke3",
+        "-b", "8", "--epochs", "1", "--warmup-epochs", "0", "--cos",
+        "--lr", "1e-3", "--optimizer", "lars",
+        "--moco-dim", "16", "--moco-mlp-dim", "32",
+        "--loss", "v3_symmetric", "--semi-ratios", "0.5", "--draws", "1"])
+    assert np.isfinite(results[0].extra["final_loss"])
+
+
+def test_finetune_cli_lp_and_ft(covid_root):
+    from mfvit_tpu.cli import finetune
+    out = covid_root / "exp_lp"
+    results = finetune.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "smoke",
+        "-b", "8", "--epochs", "2", "--cos", "--lr", "0.1",
+        "--optimizer", "sgd", "--semi-ratios", "1"])
+    assert len(results) == 1
+    assert 0.0 <= results[0].test_acc <= 1.0
+    assert np.isfinite(results[0].test_auc)
+    exp = next(out.iterdir())
+    assert (exp / "train_1_0" / "model_best").exists()
+    assert (exp / "results.json").exists()
+
+    # FT (semi-supervised) on the fractional split
+    out2 = covid_root / "exp_ft"
+    results = finetune.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out2), "--exp-name", "smoke",
+        "-b", "8", "--epochs", "1", "--cos", "--lr", "0.01",
+        "--optimizer", "sgd", "--semi-supervised",
+        "--semi-ratios", "0.5", "--draws", "1"])
+    assert np.isfinite(results[0].test_auc)
+
+
+def test_fuse_cli(covid_root):
+    from mfvit_tpu.cli import fuse
+    out = covid_root / "exp_fuse"
+    results = fuse.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "smoke",
+        "-b", "8", "--epochs", "2", "--cos", "--lr", "1e-3",
+        "--fusion-heads", "2", "--semi-ratios", "1"])
+    assert len(results) == 1
+    assert np.isfinite(results[0].test_auc)
+    exp = next(out.iterdir())
+    assert (exp / "train_1_0" / "model_best").exists()
+    with open(exp / "results.json") as f:
+        data = json.load(f)
+    assert data[0]["ratio"] == 1
