@@ -19,3 +19,6 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+from mfvit_tpu import data, exp, models, ops, parallel, ssl, train  # noqa: F401,E402
+from mfvit_tpu.nn import init, layers, posembed, resnet, vit  # noqa: F401,E402

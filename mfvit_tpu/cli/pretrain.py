@@ -115,10 +115,21 @@ def train_one_draw_fn(args, vit_cfg):
                 cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args)),
                 donate_argnums=(0, 1))
 
+        # resume: restores state + optimizer + epoch (the reference restores
+        # epoch/model/optimizer/scaler — pretrain main :356-372)
+        start_epoch = args.start_epoch
+        if args.resume:
+            like = {"state": state, "opt_state": opt_state,
+                    "epoch": jnp.zeros((), jnp.int32)}
+            ck = ckpt_mod.restore(args.resume, like=like)
+            state, opt_state = ck["state"], ck["opt_state"]
+            start_epoch = int(ck["epoch"]) + 1
+            print(f"=> resumed from {args.resume} at epoch {start_epoch}")
+
         best_loss = math.inf
         k_aug = jax.random.fold_in(key, 1)
         result = harness.DrawResult(ratio, draw)
-        for epoch in range(args.start_epoch, args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             ep_loss = metrics.AverageMeter("loss", ":.4f")
             for i, (canv, _labels) in enumerate(tl):
                 it_epoch = epoch + i / steps_per_epoch
@@ -147,8 +158,10 @@ def train_one_draw_fn(args, vit_cfg):
                 ckpt_mod.save(str(sub_folder / "checkpoint_best_loss"),
                               {"state": state, "epoch": epoch})
             if epoch == args.epochs - 1 or (epoch + 1) % args.save_epoch == 0:
+                # resume-capable: carries the optimizer state too
                 ckpt_mod.save(str(sub_folder / f"checkpoint_{epoch:04d}"),
-                              {"state": state, "epoch": epoch})
+                              {"state": state, "opt_state": opt_state,
+                               "epoch": jnp.asarray(epoch, jnp.int32)})
         result.extra["final_loss"] = ep_loss.avg
         result.extra["best_loss"] = best_loss
         return result

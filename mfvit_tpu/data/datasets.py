@@ -137,3 +137,50 @@ class ChexpertDataset:
     def __getitem__(self, idx: int):
         img = ht.decode_bgr(self.manifest.paths[idx])
         return self.transform(img), self.manifest.labels[idx]
+
+
+class ChexpertMixDataset:
+    """CheXpert paired CXR/Enh with probabilistic flavor swap.
+
+    ``mode='norm1'`` (Dataset_Mix_norm1, loader.py:332-411): with
+    probability ``per_enh`` the CXR image is REPLACED by the Enh image
+    (both transformed with the CXR stack — the reference sets
+    transform_enh = transform_cxr at init :344); otherwise Enh is replaced
+    by CXR. ``mode='mix'`` (Dataset_Mix, :414-480): with probability
+    ``1 - per_enh`` Enh is replaced by CXR (and its transform); otherwise
+    the real Enh image + Enh transform are used. Returns (q, k, label)."""
+
+    def __init__(self, folder_cxr: str, folder_enh: str, img_csv: str,
+                 transform_cxr: Transform, transform_enh: Transform,
+                 disease_name: str, per_enh: float, mode: str = "mix",
+                 seed: Optional[int] = 0):
+        self.m_cxr = parse_chexpert(img_csv, folder_cxr, disease_name)
+        self.m_enh = parse_chexpert(img_csv, folder_enh, disease_name)
+        self.transform_cxr = transform_cxr
+        self.transform_enh = transform_enh
+        self.per_enh = per_enh
+        self.mode = mode
+        self._rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.m_cxr)
+
+    def __getitem__(self, idx: int):
+        cxr = ht.decode_bgr(self.m_cxr.paths[idx])
+        if self.mode == "norm1":
+            enh = ht.decode_bgr(self.m_enh.paths[idx])
+            if self._rng.random() <= self.per_enh:
+                cxr = enh
+            else:
+                enh = cxr
+            q = self.transform_cxr(cxr)
+            k = self.transform_cxr(enh)  # norm1: one normalization (:344)
+        else:
+            if self._rng.random() < 1.0 - self.per_enh:
+                q = self.transform_cxr(cxr)
+                k = self.transform_cxr(cxr)
+            else:
+                enh = ht.decode_bgr(self.m_enh.paths[idx])
+                q = self.transform_cxr(cxr)
+                k = self.transform_enh(enh)
+        return q, k, self.m_cxr.labels[idx]

@@ -1,1 +1,1 @@
-from mfvit_tpu.models import fusion  # noqa: F401
+from mfvit_tpu.models import crossvit_cnn, fusion, gpt_fusion  # noqa: F401

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from mfvit_tpu.nn import init as initzr
 from mfvit_tpu.nn import posembed
 from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, mlp, mlp_init
-from mfvit_tpu.ops.attention import mhsa
+from mfvit_tpu.ops.attention import mhsa_from_packed
 
 Params = Dict[str, Any]
 
@@ -83,15 +83,16 @@ def get_config(name: str, img_size: int = 224) -> ViTConfig:
 # ------------------------------------------------------------------- init
 
 def init(key, cfg: ViTConfig, num_classes: int = 0,
-         head_init_std: float = 0.01) -> Params:
+         head_init_std: float = 0.01, in_chans: int = 3) -> Params:
     """Build the fp32 parameter pytree.
 
     Follows MoCo-v3 ViT init: xavier-uniform qkv and patch projection,
     trunc-normal(0.02) elsewhere; classifier head N(0, 0.01) to match the
-    reference finetune head init (finetune main :290-296).
+    reference finetune head init (finetune main :290-296). ``in_chans=4``
+    supports the stacked CXR+Enh input variant (builder_4ch.py:36-41).
     """
     keys = jax.random.split(key, cfg.depth + 4)
-    patch_in = cfg.patch * cfg.patch * 3
+    patch_in = cfg.patch * cfg.patch * in_chans
     p: Params = {
         "patch": linear_init(keys[0], patch_in, cfg.dim, dist="xavier_uniform"),
         "cls": initzr.trunc_normal(keys[1], (1, 1, cfg.dim), std=0.02),
@@ -159,11 +160,8 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     scale = cfg.head_dim ** -0.5
     for blk in params["blocks"]:
         h = layernorm(blk["norm1"], x)
-        qkv = linear(blk["qkv"], h)  # (B, N, 3*dim)
-        qkv = qkv.reshape(B, cfg.seq_len, 3, cfg.heads, cfg.head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
-        attn = mhsa(qkv[0], qkv[1], qkv[2], scale=scale, backend=attn_backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, cfg.seq_len, cfg.dim)
+        qkv = linear(blk["qkv"], h)  # (B, N, 3*dim), [q|k|v] column layout
+        attn = mhsa_from_packed(qkv, cfg.heads, scale, backend=attn_backend)
         x = x + linear(blk["proj"], attn)
         x = x + mlp(blk["mlp"], layernorm(blk["norm2"], x))
 

@@ -173,6 +173,138 @@ def mhsa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _mhsa_pallas(q, k, v, scale, interpret=(b == "pallas_interpret"))
 
 
+# ------------------------------------------- packed-QKV fused attention v2
+
+def _packed_attn_kernel(qkv_ref, o_ref, *, heads: int, scale: float,
+                        n_valid: int):
+    """One grid step = CB images x all heads. qkv_ref block:
+    (CB, 3, H, D, Np) — the SEQUENCE sits on the 128-wide lane dimension
+    (full lane utilization for DMA and VPU; head_dim=32 would waste 3/4 of
+    every lane as the minor dim). Scores: s = q^T k contracting the D
+    sublanes; PV: o = v p^T contracting N lanes. The (Np, Np) score
+    matrices live and die in VMEM — they never touch HBM (the XLA path
+    materializes (B, H, N, N) fp32 between its two matmuls)."""
+    cb = qkv_ref.shape[0]
+    for b in range(cb):
+        for h in range(heads):
+            q = qkv_ref[b, 0, h]  # (D, Np)
+            k = qkv_ref[b, 1, h]
+            v = qkv_ref[b, 2, h]
+            # s[i, j] = sum_d q[d, i] * k[d, j]
+            s = jax.lax.dot_general(
+                q, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (Np, Np)
+            if n_valid != s.shape[-1]:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # o[d, i] = sum_j v[d, j] * p[i, j]
+            o = jax.lax.dot_general(
+                v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (D, Np)
+            o_ref[b, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def mhsa_packed(qkv, heads: int, scale: float, interpret: bool = False):
+    """Fused MHSA on packed qkv (B, N, 3*dim) -> (B, N, dim).
+
+    The layout matches the ViT qkv Linear output directly
+    (columns = [q|k|v] x [head0..headH] x head_dim), so the caller does no
+    reshapes/transposes — the main HBM cost of the XLA attention path."""
+    return _mhsa_packed_impl(qkv, heads, scale, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _mhsa_packed_impl(qkv, heads: int, scale: float, interpret: bool):
+    B, N, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    Np = _round_up(N, 128)
+    CB = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    # XLA-side layout shuffle (cheap, fused): (B,N,3*dim) -> (B,3,H,D,Np)
+    x = qkv.reshape(B, N, 3, heads, hd).transpose(0, 2, 3, 4, 1)
+    if Np != N:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Np - N)))
+    kernel = functools.partial(_packed_attn_kernel, heads=heads,
+                               scale=scale, n_valid=N)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // CB,),
+        in_specs=[pl.BlockSpec((CB, 3, heads, hd, Np),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CB, heads, hd, Np), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, heads, hd, Np), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * heads * Np * Np * hd,
+            bytes_accessed=4 * B * Np * dim * qkv.dtype.itemsize,
+            transcendentals=B * heads * Np * Np,
+        ),
+        interpret=interpret,
+    )(x)
+    # back to (B, N, dim)
+    return out[:, :, :, :N].transpose(0, 3, 1, 2).reshape(B, N, dim)
+
+
+def _mhsa_packed_fwd(qkv, heads: int, scale: float, interpret: bool):
+    return _mhsa_packed_impl(qkv, heads, scale, interpret), (qkv,)
+
+
+def _mhsa_packed_bwd(heads: int, scale: float, interpret: bool, res, g):
+    """XLA-math backward on the packed layout (fp32 softmax recompute)."""
+    (qkv,) = res
+    B, N, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    def split(x):
+        return x.reshape(B, N, heads, hd)
+    q = split(qkv[..., :dim])
+    k = split(qkv[..., dim:2 * dim])
+    v = split(qkv[..., 2 * dim:])
+    gf = g.reshape(B, N, heads, hd).astype(jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dqkv = jnp.concatenate(
+        [dq.reshape(B, N, dim), dk.reshape(B, N, dim),
+         dv.reshape(B, N, dim)], axis=-1)
+    return (dqkv.astype(qkv.dtype),)
+
+
+mhsa_packed.defvjp(_mhsa_packed_fwd, _mhsa_packed_bwd)
+
+
+def mhsa_from_packed(qkv: jnp.ndarray, heads: int, scale: float,
+                     backend: str | None = None) -> jnp.ndarray:
+    """Dispatch packed-qkv attention: Pallas fused kernel on TPU, einsum
+    reference elsewhere. (B, N, 3*dim) -> (B, N, dim)."""
+    b = _resolve(backend)
+    if b in ("pallas", "pallas_interpret"):
+        return mhsa_packed(qkv, heads, scale, b == "pallas_interpret")
+    B, N, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    q, k, v = (x.reshape(B, N, heads, hd) for x in jnp.split(qkv, 3, -1))
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return o.reshape(B, N, dim)
+
+
 # ------------------------------------------------- 1-query cross-attention
 
 def cross_attention_1q(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

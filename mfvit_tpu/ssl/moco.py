@@ -48,30 +48,76 @@ class MoCoConfig:
     loss: str = "v2_queue"    # 'v2_queue' | 'v3_symmetric'
     predictor_on_keys: bool = True  # :174 vs the _noprediction_q variant
     stop_grad_conv1: bool = True    # README recipe --stop-grad-conv1
+    # projector/predictor structure. Defaults = MoCo_ViT of the v3-structure
+    # builders (3-layer BN projector, 2-layer BN predictor); MoCo_ResNet
+    # uses 2/2 (builder...mocov2loss.py:202-225); the v2-classic builder.py
+    # has a bias-ful BN-free 2-layer 'mlp head' and NO predictor (:52-64).
+    projector_layers: int = 3
+    predictor_layers: int = 2
+    projector_bn: bool = True
+    predictor_last_bn: bool = True
+    use_predictor: bool = True
+
+    @staticmethod
+    def vit(**kw) -> "MoCoConfig":
+        return MoCoConfig(**kw)
+
+    @staticmethod
+    def resnet(**kw) -> "MoCoConfig":
+        kw.setdefault("projector_layers", 2)
+        kw.setdefault("predictor_last_bn", False)
+        kw.setdefault("stop_grad_conv1", False)
+        return MoCoConfig(**kw)
+
+    @staticmethod
+    def v2_classic(mlp: bool = True, **kw) -> "MoCoConfig":
+        """builder.py's original MoCo-v2: dim=128, K=65536, m=.999, T=.07,
+        optional 2-layer BN-free mlp head, no predictor, keys straight from
+        the momentum encoder."""
+        kw.setdefault("dim", 128)
+        kw.setdefault("T", 0.07)
+        kw.setdefault("m", 0.999)
+        kw.setdefault("projector_layers", 2 if mlp else 1)
+        kw.setdefault("projector_bn", False)
+        kw.setdefault("use_predictor", False)
+        kw.setdefault("predictor_on_keys", False)
+        kw.setdefault("stop_grad_conv1", False)
+        return MoCoConfig(**kw)
 
 
 # ---------------------------------------------------------- MLP (BN-ReLU)
 
 def _mlp_init(key, num_layers: int, in_dim: int, mlp_dim: int, out_dim: int,
-              last_bn: bool = True) -> Params:
+              last_bn: bool = True, use_bn: bool = True) -> Params:
     """SimCLR-style MLP stack: Linear(bias=False) + BN + ReLU per hidden
     layer; final Linear(bias=False) + affine-free BN if ``last_bn``
-    (builder...mocov2loss.py:62-78)."""
+    (builder...mocov2loss.py:62-78). With ``use_bn=False`` this becomes the
+    v2-classic bias-ful BN-free mlp head (builder.py:52-64): Linear + ReLU
+    per hidden layer, bare final Linear."""
     keys = jax.random.split(key, num_layers)
     layers = []
     for l in range(num_layers):
         d1 = in_dim if l == 0 else mlp_dim
         d2 = out_dim if l == num_layers - 1 else mlp_dim
-        layer: Params = {"lin": linear_init(keys[l], d1, d2, bias=False,
+        layer: Params = {"lin": linear_init(keys[l], d1, d2, bias=not use_bn,
                                             dist="trunc_normal")}
         if l < num_layers - 1:
-            layer["bn"] = batchnorm_init(d2)  # BN presence implies ReLU after
-        elif last_bn:
+            if use_bn:
+                layer["bn"] = batchnorm_init(d2)  # BN implies ReLU after
+            else:
+                layer["relu_marker"] = initzr_zeros_marker()
+        elif last_bn and use_bn:
             bn = batchnorm_init(d2)
             # affine-free BN: fixed scale/bias (":76 removed gamma" quirk)
             layer["bn_noaffine"] = bn
         layers.append(layer)
     return {"layers": layers}
+
+
+def initzr_zeros_marker():
+    """Zero-size float leaf marking a plain ReLU layer (keeps the pytree
+    grad-compatible, unlike a bool)."""
+    return jnp.zeros((0,), jnp.float32)
 
 
 def _mlp_apply(p: Params, x: jnp.ndarray, *, training: bool,
@@ -84,6 +130,8 @@ def _mlp_apply(p: Params, x: jnp.ndarray, *, training: bool,
             x, nl["bn"] = batchnorm(layer["bn"], x, training=training,
                                     axis_name=axis_name)
             x = jax.nn.relu(x)
+        elif "relu_marker" in layer:
+            x = jax.nn.relu(x)
         elif "bn_noaffine" in layer:
             x, nl["bn_noaffine"] = batchnorm(
                 layer["bn_noaffine"], x, training=training,
@@ -94,39 +142,69 @@ def _mlp_apply(p: Params, x: jnp.ndarray, *, training: bool,
 
 # ------------------------------------------------------------------ init
 
-def init(key, cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig) -> Params:
-    """Build the full MoCo state pytree.
+def _backbone_init(key, backbone_cfg, in_chans: int = 3):
+    if isinstance(backbone_cfg, vit_mod.ViTConfig):
+        return vit_mod.init(key, backbone_cfg, num_classes=0,
+                            in_chans=in_chans)
+    from mfvit_tpu.nn import resnet as resnet_mod
+    return resnet_mod.init(key, backbone_cfg, num_classes=0)
+
+
+def _backbone_dim(backbone_cfg) -> int:
+    if isinstance(backbone_cfg, vit_mod.ViTConfig):
+        return backbone_cfg.dim
+    return backbone_cfg.out_dim
+
+
+def init(key, cfg: MoCoConfig, backbone_cfg, in_chans: int = 3) -> Params:
+    """Build the full MoCo state pytree for a ViT or ResNet backbone.
 
     The momentum tower starts as a copy of the base tower
     (builder...mocov2loss.py:52-54); the queue starts L2-normalized random
-    (:57-58)."""
+    (:57-58). ``in_chans=4`` gives the builder_4ch stacked-input variant
+    (builder_4ch.py:36-41)."""
     k_enc, k_proj, k_pred, k_queue = jax.random.split(key, 4)
-    encoder = vit_mod.init(k_enc, vit_cfg, num_classes=0)
-    projector = _mlp_init(k_proj, 3, vit_cfg.dim, cfg.mlp_dim, cfg.dim)
+    encoder = _backbone_init(k_enc, backbone_cfg, in_chans)
+    width = _backbone_dim(backbone_cfg)
+    projector = _mlp_init(k_proj, cfg.projector_layers, width, cfg.mlp_dim,
+                          cfg.dim, use_bn=cfg.projector_bn)
     base = {"encoder": encoder, "projector": projector}
     queue = jax.random.normal(k_queue, (cfg.dim, cfg.K), jnp.float32)
     queue = queue / jnp.linalg.norm(queue, axis=0, keepdims=True)
-    return {
+    state = {
         "base": base,
         "momentum": jax.tree.map(jnp.copy, base),
-        "predictor": _mlp_init(k_pred, 2, cfg.dim, cfg.mlp_dim, cfg.dim),
         "queue": queue,
         "queue_ptr": jnp.zeros((), jnp.int32),
     }
+    if cfg.use_predictor:
+        state["predictor"] = _mlp_init(
+            k_pred, cfg.predictor_layers, cfg.dim, cfg.mlp_dim, cfg.dim,
+            last_bn=cfg.predictor_last_bn, use_bn=cfg.projector_bn)
+    else:
+        state["predictor"] = {"layers": []}  # identity
+    return state
 
 
 # -------------------------------------------------------------- encoding
 
 def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
-            vit_cfg: vit_mod.ViTConfig, *, training: bool,
+            backbone_cfg, *, training: bool,
             axis_name: Optional[str], compute_dtype,
             stop_grad_conv1: bool) -> Tuple[jnp.ndarray, Params]:
-    feats = vit_mod.apply(tower["encoder"], imgs, vit_cfg,
-                          compute_dtype=compute_dtype,
-                          stop_grad_conv1=stop_grad_conv1)  # (B, width) fp32
+    if isinstance(backbone_cfg, vit_mod.ViTConfig):
+        feats = vit_mod.apply(tower["encoder"], imgs, backbone_cfg,
+                              compute_dtype=compute_dtype,
+                              stop_grad_conv1=stop_grad_conv1)  # (B, w) fp32
+        new_enc = tower["encoder"]
+    else:
+        from mfvit_tpu.nn import resnet as resnet_mod
+        feats, new_enc = resnet_mod.apply(
+            tower["encoder"], imgs, backbone_cfg, training=training,
+            compute_dtype=compute_dtype, axis_name=axis_name)
     z, new_proj = _mlp_apply(tower["projector"], feats, training=training,
                              axis_name=axis_name)
-    return z, {"encoder": tower["encoder"], "projector": new_proj}
+    return z, {"encoder": new_enc, "projector": new_proj}
 
 
 def _l2norm(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,81 @@
+"""Alternative fusion heads: ViT+CNN cross-attention (crossvit.py) and
+TransFuser GPT fusion (fuseattention.py), plus the resnet backbone."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.models import crossvit_cnn, gpt_fusion
+from mfvit_tpu.nn import resnet, vit
+
+TINY_VIT = vit.ViTConfig("t", img_size=32, patch=16, dim=32, depth=1, heads=2)
+
+
+def test_resnet_backbone_shapes(rng):
+    cfg = resnet.get_config("resnet18")
+    p = resnet.init(rng, cfg, num_classes=3)
+    x = jax.random.normal(rng, (2, 64, 64, 3))
+    logits, _ = resnet.apply(p, x, cfg, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 3)
+    fm, _ = resnet.apply(p, x, cfg, return_featmap=True,
+                         compute_dtype=jnp.float32)
+    assert fm.shape == (2, 2, 2, 512)  # 64/32
+    # BN running stats update in training
+    _, newp = resnet.apply(p, x, cfg, training=True,
+                           compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(newp["stem"]["bn"]["mean"]),
+                           np.asarray(p["stem"]["bn"]["mean"]))
+
+
+def test_resnet50_bottleneck(rng):
+    cfg = resnet.get_config("resnet50")
+    p = resnet.init(rng, cfg, num_classes=0)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    feats, _ = resnet.apply(p, x, cfg, compute_dtype=jnp.float32)
+    assert feats.shape == (1, 2048)
+
+
+def test_crossvit_cnn_fusion(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    fp = crossvit_cnn.init(k1, small_dim=32, large_dim=64, heads=2,
+                           dim_head=8, num_classes=3)
+    tokens = jax.random.normal(k2, (2, 5, 32))
+    featmap = jax.random.normal(k3, (2, 2, 2, 64))
+    logits = crossvit_cnn.apply(fp, tokens, featmap, heads=2, dim_head=8)
+    assert logits.shape == (2, 3)
+    # differentiable end to end
+    g = jax.grad(lambda p: jnp.sum(
+        crossvit_cnn.apply(p, tokens, featmap, heads=2, dim_head=8) ** 2))(fp)
+    assert np.isfinite(
+        np.asarray(g["encoders"][0]["layers"][0]["f_sl"]["w"]).sum())
+
+
+def test_gpt_fusion_vit_arch(rng):
+    cfg = gpt_fusion.GPTFusionConfig(arch="vit", n_embd=32, n_head=2,
+                                     n_layer=2, vert_anchors=2,
+                                     horz_anchors=2)
+    p = gpt_fusion.init(rng, cfg, num_classes=3)
+    # joint_len = 2*2*2 + 2 = 10 -> two 5-token streams
+    assert p["pos_emb"].shape == (1, 10, 32)
+    cxr = jax.random.normal(rng, (2, 5, 32))
+    enh = jax.random.normal(rng, (2, 5, 32))
+    logits = gpt_fusion.apply(p, cxr, enh, cfg)
+    assert logits.shape == (2, 3)
+
+
+def test_gpt_fusion_res_arch(rng):
+    cfg = gpt_fusion.GPTFusionConfig(arch="res", n_embd=16, n_head=2,
+                                     n_layer=1, vert_anchors=2,
+                                     horz_anchors=2)
+    p = gpt_fusion.init(rng, cfg, num_classes=3)
+    cxr = jax.random.normal(rng, (2, 4, 4, 16))
+    enh = jax.random.normal(rng, (2, 4, 4, 16))
+    logits = gpt_fusion.apply(p, cxr, enh, cfg)
+    assert logits.shape == (2, 3)
+
+
+def test_gpt_fusion_reference_configs():
+    assert gpt_fusion.VIT_CONFIG.joint_len == 2 * 196 + 2  # 14x14 + CLS x2
+    assert gpt_fusion.RES18_CONFIG.joint_len == 2 * 49
+    assert gpt_fusion.RES18_CONFIG.n_embd == 512

@@ -75,3 +75,30 @@ def test_pallas_mhsa_grad_matches_xla(rng):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_packed_attention_matches_unpacked(rng):
+    from mfvit_tpu.ops.attention import mhsa_from_packed
+    B, N, heads, hd = 2, 197, 12, 32
+    dim = heads * hd
+    qkv = jax.random.normal(rng, (B, N, 3 * dim), jnp.float32)
+    scale = hd ** -0.5
+    ref = mhsa_from_packed(qkv, heads, scale, backend="xla")
+    out = mhsa_from_packed(qkv, heads, scale, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_packed_attention_grad_matches(rng):
+    from mfvit_tpu.ops.attention import mhsa_from_packed
+    B, N, heads, hd = 2, 67, 4, 16
+    dim = heads * hd
+    qkv = jax.random.normal(rng, (B, N, 3 * dim), jnp.float32)
+    scale = hd ** -0.5
+
+    gp = jax.grad(lambda q: jnp.sum(
+        mhsa_from_packed(q, heads, scale, backend="pallas_interpret") ** 2))(qkv)
+    gx = jax.grad(lambda q: jnp.sum(
+        mhsa_from_packed(q, heads, scale, backend="xla") ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-3, atol=1e-3)

@@ -220,3 +220,25 @@ def test_covid_4ch_dataset(tmp_path):
     ds = datasets.Covid4chDataset(str(man), lambda x: x)
     img, _ = ds[0]
     assert img.shape[-1] == 4  # cat(cxr,enh)[:,:,2:] — loader.py:182
+
+
+def test_chexpert_mix_dataset(tmp_path):
+    import os as _os
+    for folder in ("cx", "en"):
+        _os.makedirs(tmp_path / folder / "x")
+    _write_img(str(tmp_path / "cx" / "x" / "i.jpg"), seed=1)
+    _write_img(str(tmp_path / "en" / "x" / "i.jpg"), seed=2)
+    csv = tmp_path / "m.csv"
+    csv.write_text("idx,Path,Pneumonia\n0,x/i.jpg,1.0\n")
+    ident = lambda x: x
+    ds = datasets.ChexpertMixDataset(
+        str(tmp_path / "cx"), str(tmp_path / "en"), str(csv), ident, ident,
+        "Pneumonia", per_enh=1.0, mode="mix")
+    q, k, label = ds[0]
+    assert label == 1
+    assert not np.array_equal(q, k)  # per_enh=1 -> real Enh for k
+    ds0 = datasets.ChexpertMixDataset(
+        str(tmp_path / "cx"), str(tmp_path / "en"), str(csv), ident, ident,
+        "Pneumonia", per_enh=0.0, mode="mix")
+    q, k, _ = ds0[0]
+    np.testing.assert_array_equal(q, k)  # per_enh=0 -> always CXR twice

@@ -82,3 +82,51 @@ def test_snapshot_args(tmp_path):
     with open(tmp_path / "commandline_args.txt") as f:
         d = json.load(f)
     assert d["lr"] == 1.5e-4 and d["arch"] == "vit_small"
+
+
+def test_evaluator_class():
+    from mfvit_tpu.train.evaluator import Evaluator
+    rng = np.random.default_rng(0)
+    batches = [(rng.normal(size=(8, 3)), rng.integers(0, 3, 8))
+               for _ in range(3)]
+
+    ev = Evaluator(lambda b: b, metric_names=["auc", "acc", "f1"])
+    res = ev.evaluate(iter(batches), n_total=20)
+    assert res["n"] == 20
+    assert 0 <= res["acc"] <= 1
+    assert np.isfinite(res["auc"]) and np.isfinite(res["f1"])
+
+
+def test_pretrain_resume(tmp_path):
+    """Resume restores state/opt/epoch (pretrain --resume parity)."""
+    import cv2 as _cv2
+    from mfvit_tpu.data import manifest as _mf
+    from mfvit_tpu.cli import pretrain as pre
+    root = tmp_path
+    os.makedirs(root / "images" / "data")
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(8):
+        fn = f"i{i}.png"
+        _cv2.imwrite(str(root / "images" / "data" / fn),
+                     rng.integers(0, 255, (40, 40, 3), np.uint8))
+        names.append(fn)
+    man = root / "cds"
+    os.makedirs(man)
+    _mf.write_covid_manifest(str(man / "1_labeled_train_0.txt"),
+                             str(root / "images"), names, [0] * 8)
+    argv = ["-a", "vit_test", "--img-size", "32", "--crop", "32",
+            "--maintain-ratio", "--compute-dtype", "float32",
+            "--attn-backend", "xla", "-j", "1", "--seed", "0",
+            "--covid-ds", str(man), "--storage-root", str(root / "out"),
+            "-b", "8", "--epochs", "2", "--warmup-epochs", "0", "--cos",
+            "--lr", "1e-3", "--optimizer", "adamw",
+            "--moco-dim", "8", "--moco-mlp-dim", "16", "--moco-k", "16",
+            "--save-epoch", "1", "--semi-ratios", "1"]
+    pre.main(argv)
+    exp = next((root / "out").iterdir())
+    ck = exp / "train_1_0" / "checkpoint_0001"
+    assert ck.exists()
+    # resume from the final checkpoint; one extra epoch
+    pre.main(argv + ["--resume", str(ck), "--epochs", "3",
+                     "--exp-name", "resumed"])
