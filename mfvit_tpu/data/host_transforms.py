@@ -138,6 +138,160 @@ class ChexpertTransform:
         return np.ascontiguousarray(img)
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def random_resized_crop(img: np.ndarray, size: int, rng: random.Random,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> np.ndarray:
+    """torchvision RandomResizedCrop: random area/aspect crop then bilinear
+    resize to (size, size)."""
+    import math
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        log_r = (math.log(ratio[0]), math.log(ratio[1]))
+        ar = math.exp(rng.uniform(*log_r))
+        cw = int(round(math.sqrt(target * ar)))
+        ch = int(round(math.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = rng.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
+            crop = img[top:top + ch, left:left + cw]
+            return np.asarray(Image.fromarray(crop).resize(
+                (size, size), Image.BILINEAR))
+    # fallback: center crop at in-range aspect
+    in_r = w / h
+    if in_r < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_r > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    crop = center_crop(img, ch, cw)
+    return np.asarray(Image.fromarray(crop).resize((size, size),
+                                                   Image.BILINEAR))
+
+
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """SimCLR GaussianBlur (reference loader.py:25-34, PIL filter)."""
+    from PIL import ImageFilter
+    return np.asarray(Image.fromarray(img).filter(
+        ImageFilter.GaussianBlur(radius=sigma)))
+
+
+def solarize(img: np.ndarray, threshold: int = 128) -> np.ndarray:
+    """BYOL Solarize (referenced as moco.loader.Solarize, pretrain :409)."""
+    from PIL import ImageOps
+    return np.asarray(ImageOps.solarize(Image.fromarray(img), threshold))
+
+
+def color_jitter(img: np.ndarray, rng: random.Random, brightness=0.4,
+                 contrast=0.4, saturation=0.2, hue=0.1) -> np.ndarray:
+    """torchvision ColorJitter(0.4, 0.4, 0.2, 0.1): random factor per
+    property, applied in random order."""
+    from PIL import ImageEnhance
+    pil = Image.fromarray(img)
+    ops = []
+    if brightness:
+        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+    if contrast:
+        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+    if saturation:
+        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+    if hue:
+        f = rng.uniform(-hue, hue)
+
+        def hue_shift(im, f=f):
+            hsv = np.asarray(im.convert("HSV")).copy()
+            hsv[:, :, 0] = (hsv[:, :, 0].astype(np.int16)
+                            + int(f * 255)) % 256
+            return Image.fromarray(hsv, "HSV").convert("RGB")
+        ops.append(hue_shift)
+    rng.shuffle(ops)
+    for op in ops:
+        pil = op(pil)
+    return np.asarray(pil)
+
+
+@dataclasses.dataclass
+class ByolTransform:
+    """The reference's 'aug1'/'aug2' BYOL stacks (pretrain main :388-412):
+    RandomResizedCrop(224, (crop_min, 1)) + ColorJitter(p=.8) +
+    grayscale(p=.2) + GaussianBlur(p=1.0 aug1 / .1 aug2) +
+    Solarize(p=.2, aug2 only) + HFlip + ImageNet normalize."""
+
+    img_size: int = 224
+    crop_min: float = 0.08
+    variant: str = "aug1"  # aug1 | aug2
+    seed: Optional[int] = None
+    normalize: bool = True
+
+    def __post_init__(self):
+        self._rng = random.Random(self.seed)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        r = self._rng
+        img = random_resized_crop(img, self.img_size, r,
+                                  scale=(self.crop_min, 1.0))
+        if r.random() < 0.8:
+            img = color_jitter(img, r)
+        if r.random() < 0.2:
+            gray = np.asarray(Image.fromarray(img).convert("L"))
+            img = np.stack([gray] * 3, -1)
+        blur_p = 1.0 if self.variant == "aug1" else 0.1
+        if r.random() < blur_p:
+            img = gaussian_blur(img, r.uniform(0.1, 2.0))
+        if self.variant == "aug2" and r.random() < 0.2:
+            img = solarize(img)
+        if r.random() < 0.5:
+            img = img[:, ::-1]
+        if self.normalize:
+            return to_float_chw_free(img, IMAGENET_MEAN, IMAGENET_STD)
+        return np.ascontiguousarray(img)
+
+
+@dataclasses.dataclass
+class MoCoV3Transform:
+    """``get_transform_type_mocov3`` (image_transform.py:87-124): train =
+    RandomResizedCrop(img_size, (crop_min, 1)) + HFlip + RandomRotation;
+    eval = Resize(256) + CenterCrop; per-flavor normalization."""
+
+    img_size: int = 224
+    crop: int = 224
+    img_type: str = "data"
+    training: bool = True
+    crop_min: float = 0.08
+    rotate_deg: float = 10.0
+    maintain_ratio: bool = True
+    seed: Optional[int] = None
+
+    def __post_init__(self):
+        self._rng = random.Random(self.seed)
+        self.mean, self.std = norm_stats(self.img_type)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        r = self._rng
+        if self.training:
+            img = random_resized_crop(img, self.img_size, r,
+                                      scale=(self.crop_min, 1.0))
+            if r.random() < 0.5:
+                img = img[:, ::-1]
+            if self.rotate_deg:
+                img = rotate(img, r.uniform(-self.rotate_deg,
+                                            self.rotate_deg))
+        else:
+            img = resize_shorter(img, 256) if self.maintain_ratio \
+                else resize_square(img, 256)
+            if self.crop:
+                img = center_crop(img, self.crop, self.crop)
+        return to_float_chw_free(img, self.mean, self.std)
+
+
 @dataclasses.dataclass
 class CanvasTransform:
     """Canvas producer for the device-fused augmentation path.

@@ -42,6 +42,9 @@ def linear_init(key, in_dim: int, out_dim: int, *, std: float = 0.02,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "wq" in p:  # int8-quantized serving params (ops/quant.py)
+        from mfvit_tpu.ops.quant import quantized_linear
+        return quantized_linear(p["wq"], x, p.get("b"))
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -242,3 +242,31 @@ def test_chexpert_mix_dataset(tmp_path):
         "Pneumonia", per_enh=0.0, mode="mix")
     q, k, _ = ds0[0]
     np.testing.assert_array_equal(q, k)  # per_enh=0 -> always CXR twice
+
+
+def test_byol_and_mocov3_transforms():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (260, 300, 3), np.uint8)
+    for variant in ("aug1", "aug2"):
+        t = ht.ByolTransform(variant=variant, seed=3)
+        out = t(img)
+        assert out.shape == (224, 224, 3) and out.dtype == np.float32
+    t1 = ht.ByolTransform(seed=5)(img)
+    t2 = ht.ByolTransform(seed=5)(img)
+    np.testing.assert_array_equal(t1, t2)
+
+    m = ht.MoCoV3Transform(img_type="data", training=True, seed=0)
+    assert m(img).shape == (224, 224, 3)
+    me = ht.MoCoV3Transform(img_type="data", training=False, seed=0)
+    assert me(img).shape == (224, 224, 3)
+
+
+def test_rrc_blur_solarize_primitives():
+    import random as _random
+    rng = _random.Random(0)
+    img = np.random.default_rng(1).integers(0, 255, (100, 150, 3), np.uint8)
+    out = ht.random_resized_crop(img, 64, rng)
+    assert out.shape == (64, 64, 3)
+    assert ht.gaussian_blur(img, 1.0).shape == img.shape
+    sol = ht.solarize(np.full((4, 4, 3), 200, np.uint8))
+    assert (sol == 55).all()  # 255 - 200

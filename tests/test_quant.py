@@ -1,0 +1,47 @@
+"""Int8 W8A8 inference path: quantized linear accuracy and full quantized
+ViT forward close to the bf16/fp32 reference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.nn import vit
+from mfvit_tpu.ops import quant
+
+TINY = vit.ViTConfig("t", img_size=32, patch=16, dim=64, depth=2, heads=2)
+
+
+def test_quantized_linear_close(rng):
+    k1, k2 = jax.random.split(rng)
+    w = jax.random.normal(k1, (64, 128)) * 0.05
+    x = jax.random.normal(k2, (10, 64))
+    qp = quant.quantize_weight(w)
+    assert qp["q"].dtype == jnp.int8
+    y = quant.quantized_linear(qp, x)
+    ref = x @ w
+    err = np.abs(np.asarray(y) - np.asarray(ref))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.03, rel
+
+
+def test_quantized_vit_forward_close(rng):
+    params = vit.init(rng, TINY, num_classes=3)
+    qparams = quant.quantize_vit_params(params)
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    ref = np.asarray(vit.apply(params, img, TINY, compute_dtype=jnp.float32,
+                               attn_backend="xla"))
+    out = np.asarray(vit.apply(qparams, img, TINY,
+                               compute_dtype=jnp.float32,
+                               attn_backend="xla"))
+    # top-1 agreement and small logit drift
+    assert (out.argmax(-1) == ref.argmax(-1)).all()
+    assert np.abs(out - ref).max() < 0.15 * max(1.0, np.abs(ref).max())
+
+
+def test_quantize_preserves_head_exactness(rng):
+    params = vit.init(rng, TINY, num_classes=3)
+    q = quant.quantize_vit_params(params)
+    np.testing.assert_array_equal(np.asarray(q["head"]["w"]),
+                                  np.asarray(params["head"]["w"]))
+    assert "wq" in q["blocks"][0]["qkv"]
