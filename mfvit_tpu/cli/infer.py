@@ -1,0 +1,115 @@
+"""Batch inference / serving entry point.
+
+The reference has no separate serve path — inference is the val/test phase
+of the fusion main (SURVEY §3.4). This CLI runs the one-jitted MF-ViT CA
+fused forward over a paired manifest at serving batch sizes, optionally
+with the int8 W8A8 weights, and writes predictions (+metrics when labels
+are present) as JSON. Also doubles as a throughput check
+(``--report-throughput``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.cli import common
+from mfvit_tpu.data import device_aug
+from mfvit_tpu.exp import checkpoint as ckpt_mod
+from mfvit_tpu.models import fusion as fusion_mod
+from mfvit_tpu.nn import vit as vit_mod
+from mfvit_tpu.ops import quant
+from mfvit_tpu.train import metrics
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mfvit-infer")
+    common.add_common_args(p)
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax dir with {'cxr','enh','fus'} params "
+                        "(fuse.py model_best)")
+    p.add_argument("--manifest", required=True, help="paired manifest file")
+    p.add_argument("--output", default="predictions.json")
+    p.add_argument("--int8", action="store_true",
+                   help="quantize ViT linears to int8 (W8A8 serving mode)")
+    p.add_argument("--fusion-heads", type=int, default=3)
+    p.add_argument("--num-classes", type=int, default=3)
+    p.add_argument("--report-throughput", action="store_true")
+    p.set_defaults(batch_size=256)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = common.get_arch(args)
+    k = jax.random.PRNGKey(0)
+    like = {
+        "cxr": vit_mod.init(k, cfg, num_classes=args.num_classes),
+        "enh": vit_mod.init(k, cfg, num_classes=args.num_classes),
+        "fus": fusion_mod.init(k, num_classes=args.num_classes, dim=cfg.dim,
+                               heads=args.fusion_heads),
+    }
+    params = ckpt_mod.restore(args.checkpoint, like=like)
+    if args.int8:
+        params = dict(params,
+                      cxr=quant.quantize_vit_params(params["cxr"]),
+                      enh=quant.quantize_vit_params(params["enh"]))
+
+    dt = common.compute_dtype(args)
+
+    @jax.jit
+    def fwd(p, xc, xe):
+        fused, lc, le = fusion_mod.fused_forward(
+            p["cxr"], p["enh"], p["fus"], xc, xe, cfg,
+            heads=args.fusion_heads, compute_dtype=dt,
+            attn_backend=args.attn_backend)
+        return fused + lc + le
+
+    loader = common.make_covid_loader(args, args.manifest, "data",
+                                      training=False, paired=True)
+    n_total = len(loader.ds)
+    all_logits, all_labels = [], []
+    seen = 0
+    t0 = time.perf_counter()
+    for cxr, enh, labels in loader:
+        xc = device_aug.augment_batch(k, jnp.asarray(cxr), img_type="data",
+                                      training=False, out_dtype=dt)
+        xe = device_aug.augment_batch(k, jnp.asarray(enh),
+                                      img_type="Train_Mix", training=False,
+                                      out_dtype=dt)
+        logits = np.asarray(fwd(params, xc, xe))
+        take = min(len(logits), n_total - seen)
+        all_logits.append(logits[:take])
+        all_labels.append(np.asarray(labels)[:take])
+        seen += take
+    wall = time.perf_counter() - t0
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+
+    out = {
+        "predictions": logits.argmax(-1).tolist(),
+        "logits": logits.tolist(),
+        "n": int(len(logits)),
+    }
+    if (labels >= 0).all():
+        out["metrics"] = {
+            "auc": metrics.macro_ovr_auc(logits, labels, args.num_classes),
+            "top1": metrics.top1_acc(logits, labels),
+            **metrics.precision_recall_f1(logits, labels, args.num_classes),
+        }
+    if args.report_throughput:
+        out["pairs_per_sec"] = len(logits) / wall
+    with open(args.output, "w") as f:
+        json.dump(out, f)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k not in ("predictions", "logits")}))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from mfvit_tpu.nn import init as initzr
 from mfvit_tpu.nn import posembed
 from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, mlp, mlp_init
+from mfvit_tpu.ops import attention as attn_ops
 from mfvit_tpu.ops.attention import mhsa_from_packed
 
 Params = Dict[str, Any]
@@ -158,11 +159,27 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     x = (x.astype(jnp.float32) + pos).astype(compute_dtype)
 
     scale = cfg.head_dim ** -0.5
+    backend = attn_ops._resolve(attn_backend)
     for blk in params["blocks"]:
         h = layernorm(blk["norm1"], x)
-        qkv = linear(blk["qkv"], h)  # (B, N, 3*dim), [q|k|v] column layout
-        attn = mhsa_from_packed(qkv, cfg.heads, scale, backend=attn_backend)
-        x = x + linear(blk["proj"], attn)
+        if backend in ("pallas", "pallas_interpret") and "wq" not in blk["qkv"]:
+            # Transposed-layout path: the qkv GEMM emits (B, 3*dim, N)
+            # directly and proj consumes (B, dim, N) — zero explicit
+            # transposes around the fused kernel (its HBM cost otherwise
+            # dominates the attention half of the block).
+            w = blk["qkv"]["w"].astype(h.dtype)
+            qkv_t = jnp.einsum("bnd,dk->bkn", h, w)
+            qkv_t = qkv_t + blk["qkv"]["b"].astype(h.dtype)[None, :, None]
+            attn_t = attn_ops.mhsa_packed_t(
+                qkv_t, cfg.heads, scale, backend == "pallas_interpret")
+            wp = blk["proj"]["w"].astype(h.dtype)
+            attn_out = jnp.einsum("bdn,de->bne", attn_t, wp)
+            x = x + attn_out + blk["proj"]["b"].astype(h.dtype)
+        else:
+            qkv = linear(blk["qkv"], h)  # (B, N, 3*dim)
+            attn = mhsa_from_packed(qkv, cfg.heads, scale,
+                                    backend=attn_backend)
+            x = x + linear(blk["proj"], attn)
         x = x + mlp(blk["mlp"], layernorm(blk["norm2"], x))
 
     tokens = layernorm(params["norm"], x)

@@ -287,6 +287,110 @@ def _mhsa_packed_bwd(heads: int, scale: float, interpret: bool, res, g):
 mhsa_packed.defvjp(_mhsa_packed_fwd, _mhsa_packed_bwd)
 
 
+# -------------------------------------- transposed-layout fused attention
+
+def _packed_attn_kernel_t(qkv_ref, o_ref, *, heads: int, dim: int,
+                          scale: float, n_valid: int):
+    """Transposed-layout variant: qkv_ref block (CB, 3*dim, Np) — the
+    layout the qkv GEMM can emit DIRECTLY (no XLA-side transpose at all).
+    Head slices are 32-row sublane slices; N rides the 128-lane dim."""
+    cb = qkv_ref.shape[0]
+    hd = dim // heads
+    for b in range(cb):
+        for h in range(heads):
+            q = qkv_ref[b, h * hd:(h + 1) * hd, :]              # (D, Np)
+            k = qkv_ref[b, dim + h * hd:dim + (h + 1) * hd, :]
+            v = qkv_ref[b, 2 * dim + h * hd:2 * dim + (h + 1) * hd, :]
+            s = jax.lax.dot_general(
+                q, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale     # (Np, Np)
+            if n_valid != s.shape[-1]:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (D, Np)
+            o_ref[b, h * hd:(h + 1) * hd, :] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def mhsa_packed_t(qkv_t, heads: int, scale: float, interpret: bool = False):
+    """Fused MHSA on TRANSPOSED packed qkv (B, 3*dim, N) -> (B, dim, N).
+
+    Zero layout shuffles end to end: the caller's qkv GEMM emits
+    (B, 3*dim, N) directly and the output feeds the proj GEMM contracting
+    over dim — XLA fuses both orientations into the GEMMs."""
+    return _mhsa_packed_t_impl(qkv_t, heads, scale, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _mhsa_packed_t_impl(qkv_t, heads: int, scale: float, interpret: bool):
+    B, three_dim, N = qkv_t.shape
+    dim = three_dim // 3
+    Np = _round_up(N, 128)
+    CB = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    x = qkv_t if Np == N else jnp.pad(qkv_t, ((0, 0), (0, 0), (0, Np - N)))
+    kernel = functools.partial(_packed_attn_kernel_t, heads=heads, dim=dim,
+                               scale=scale, n_valid=N)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // CB,),
+        in_specs=[pl.BlockSpec((CB, 3 * dim, Np), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CB, dim, Np), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, dim, Np), qkv_t.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * heads * Np * Np * (dim // heads),
+            bytes_accessed=4 * B * Np * dim * qkv_t.dtype.itemsize,
+            transcendentals=B * heads * Np * Np,
+        ),
+        interpret=interpret,
+    )(x)
+    return out[:, :, :N]
+
+
+def _mhsa_packed_t_fwd(qkv_t, heads: int, scale: float, interpret: bool):
+    return _mhsa_packed_t_impl(qkv_t, heads, scale, interpret), (qkv_t,)
+
+
+def _mhsa_packed_t_bwd(heads: int, scale: float, interpret: bool, res, g):
+    """XLA-math backward in the transposed layout."""
+    (qkv_t,) = res
+    B, three_dim, N = qkv_t.shape
+    dim = three_dim // 3
+    hd = dim // heads
+
+    def split(x):  # (B, dim, N) -> (B, H, D, N)
+        return x.reshape(B, heads, hd, N)
+
+    q = split(qkv_t[:, :dim])
+    k = split(qkv_t[:, dim:2 * dim])
+    v = split(qkv_t[:, 2 * dim:])
+    gf = split(g).astype(jnp.float32)
+    s = jnp.einsum("bhdq,bhdk->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhdq->bhdk", p, gf,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhdq,bhdk->bhqk", gf, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhdk->bhdq", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhdq->bhdk", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dqkv = jnp.concatenate([dq.reshape(B, dim, N), dk.reshape(B, dim, N),
+                            dv.reshape(B, dim, N)], axis=1)
+    return (dqkv.astype(qkv_t.dtype),)
+
+
+mhsa_packed_t.defvjp(_mhsa_packed_t_fwd, _mhsa_packed_t_bwd)
+
+
 def mhsa_from_packed(qkv: jnp.ndarray, heads: int, scale: float,
                      backend: str | None = None) -> jnp.ndarray:
     """Dispatch packed-qkv attention: Pallas fused kernel on TPU, einsum

@@ -102,3 +102,46 @@ def test_packed_attention_grad_matches(rng):
         mhsa_from_packed(q, heads, scale, backend="xla") ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_transposed_packed_attention_matches(rng):
+    from mfvit_tpu.ops.attention import mhsa_from_packed, mhsa_packed_t
+    B, N, heads, hd = 2, 197, 12, 32
+    dim = heads * hd
+    qkv = jax.random.normal(rng, (B, N, 3 * dim), jnp.float32)
+    scale = hd ** -0.5
+    ref = mhsa_from_packed(qkv, heads, scale, backend="xla")
+    out_t = mhsa_packed_t(qkv.transpose(0, 2, 1), heads, scale, True)
+    np.testing.assert_allclose(np.asarray(out_t.transpose(0, 2, 1)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+def test_transposed_packed_grad_matches(rng):
+    from mfvit_tpu.ops.attention import mhsa_from_packed, mhsa_packed_t
+    B, N, heads, hd = 2, 67, 4, 16
+    dim = heads * hd
+    qkv_t = jax.random.normal(rng, (B, 3 * dim, N), jnp.float32)
+    scale = hd ** -0.5
+    gp = jax.grad(lambda q: jnp.sum(
+        mhsa_packed_t(q, heads, scale, True) ** 2))(qkv_t)
+    gx = jax.grad(lambda q: jnp.sum(
+        mhsa_from_packed(q.transpose(0, 2, 1), heads, scale,
+                         backend="xla").transpose(0, 2, 1) ** 2))(qkv_t)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_vit_pallas_transposed_path_matches_xla(rng):
+    """The full ViT forward through the transposed-kernel path must equal
+    the XLA path."""
+    from mfvit_tpu.nn import vit as vit_mod
+    cfg = vit_mod.ViTConfig("t", img_size=32, patch=16, dim=64, depth=2,
+                            heads=2)
+    params = vit_mod.init(rng, cfg, num_classes=3)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    a = vit_mod.apply(params, img, cfg, compute_dtype=jnp.float32,
+                      attn_backend="xla")
+    b = vit_mod.apply(params, img, cfg, compute_dtype=jnp.float32,
+                      attn_backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-3)

@@ -124,3 +124,41 @@ def test_fuse_cli(covid_root):
     with open(exp / "results.json") as f:
         data = json.load(f)
     assert data[0]["ratio"] == 1
+
+
+def test_infer_cli(covid_root):
+    """fuse -> infer roundtrip: load the fusion checkpoint and predict."""
+    from mfvit_tpu.cli import infer
+    exp = next((covid_root / "exp_fuse").iterdir())
+    ck = exp / "train_1_0" / "model_best"
+    out = covid_root / "preds.json"
+    res = infer.main(COMMON + [
+        "--checkpoint", str(ck),
+        "--manifest", str(covid_root / "create_covid_dataset" / "test_ds.txt"),
+        "--output", str(out), "-b", "4", "--fusion-heads", "2",
+        "--report-throughput"])
+    assert res["n"] == 4
+    assert "metrics" in res and np.isfinite(res["metrics"]["auc"])
+    assert out.exists()
+
+
+def test_make_splits(tmp_path):
+    import subprocess, sys
+    master = tmp_path / "all.txt"
+    mf.write_covid_manifest(str(master), "/data", [f"i{k}.png" for k in range(30)],
+                            [k % 3 for k in range(30)])
+    out = tmp_path / "cds"
+    r = subprocess.run(
+        [sys.executable, "tools/make_splits.py", "--master", str(master),
+         "--out", str(out), "--ratios", "0.5", "1", "--draws", "2",
+         "--val-frac", "0.2", "--test-frac", "0.2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert (out / "val_ds.txt").exists() and (out / "test_ds.txt").exists()
+    assert (out / "0.5_labeled_train_1.txt").exists()
+    assert (out / "0.5_unlabeled_train_0.txt").exists()
+    assert (out / "1_labeled_train_0.txt").exists()
+    # labeled+unlabeled = train pool, disjoint
+    lab = set(open(out / "0.5_labeled_train_0.txt").readlines())
+    unlab = set(open(out / "0.5_unlabeled_train_0.txt").readlines())
+    assert not (lab & unlab)
