@@ -39,7 +39,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--storage-root", type=str, default=None,
                    help="experiment storage root (MFVIT_STORAGE_ROOT)")
     p.add_argument("--aug-setting", default="chexpert",
-                   choices=["moco_v1", "moco_v2", "chexpert"])
+                   choices=["moco_v1", "moco_v2", "chexpert", "aug1", "aug2"])
+    p.add_argument("--crop-min", dest="crop_min", default=0.08, type=float)
     p.add_argument("--img-size", dest="img_size", type=int, default=224)
     p.add_argument("--crop", dest="crop", type=int, default=224)
     p.add_argument("--maintain-ratio", dest="maintain_ratio",
@@ -83,6 +84,21 @@ def compute_dtype(args):
 
 def ratio_tag(ratio: float):
     return int(ratio) if float(ratio) == int(ratio) else ratio
+
+
+def make_ssl_two_crops_loader(args, manifest_path: str, folder: str, *,
+                              seed: int = 0) -> pipeline.BatchLoader:
+    """Host two-crops loader for the BYOL/moco-v2 aug settings (pretrain
+    main :388-412): each sample yields (q, k, label) with two independent
+    draws of the aug1/aug2 stack. The chexpert setting instead streams
+    canvases and draws both views on-device."""
+    variant = {"moco_v1": "aug1", "aug1": "aug1",
+               "moco_v2": "aug2", "aug2": "aug2"}[args.aug_setting]
+    tf = ht.ByolTransform(img_size=args.img_size, crop_min=args.crop_min,
+                          variant=variant, seed=seed)
+    ds = datasets.CovidTwoCropsDataset(folder, manifest_path, tf)
+    return pipeline.BatchLoader(ds, args.batch_size, shuffle=True, seed=seed,
+                                drop_last=True, num_workers=args.workers)
 
 
 def make_covid_loader(args, manifest_path: str, folder: str, *,

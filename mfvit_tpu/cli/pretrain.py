@@ -40,7 +40,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", default="lars",
                    choices=["lars", "adamw", "adam", "sgd"])
     p.add_argument("--warmup-epochs", default=10, type=int)
-    p.add_argument("--crop-min", default=0.08, type=float)
     p.add_argument("--moco-dim", default=256, type=int)
     p.add_argument("--moco-mlp-dim", default=4096, type=int)
     p.add_argument("--moco-m", default=0.99, type=float)
@@ -76,8 +75,13 @@ def train_one_draw_fn(args, vit_cfg):
         else:
             man = mf.split_manifest_path(args.covid_ds, ratio, draw,
                                          labeled=False)
-        tl = common.make_covid_loader(args, man, args.folder, training=True,
-                                      seed=draw)
+        byol = args.aug_setting in ("moco_v1", "moco_v2", "aug1", "aug2")
+        if byol:
+            tl = common.make_ssl_two_crops_loader(args, man, args.folder,
+                                                  seed=draw)
+        else:
+            tl = common.make_covid_loader(args, man, args.folder,
+                                          training=True, seed=draw)
         steps_per_epoch = max(len(tl), 1)
 
         mesh = pmesh.make_mesh(args.mesh_devices)
@@ -131,22 +135,30 @@ def train_one_draw_fn(args, vit_cfg):
         result = harness.DrawResult(ratio, draw)
         for epoch in range(start_epoch, args.epochs):
             ep_loss = metrics.AverageMeter("loss", ":.4f")
-            for i, (canv, _labels) in enumerate(tl):
+            for i, batch in enumerate(tl):
                 it_epoch = epoch + i / steps_per_epoch
                 m = (float(optim.moco_momentum(it_epoch, args.moco_m,
                                                args.epochs))
                      if args.moco_m_cos else args.moco_m)
                 k_aug, k_b = jax.random.split(k_aug)
-                canv = jnp.asarray(canv)
-                if n_dev > 1:
-                    canv = pmesh.shard_batch(canv, mesh)
-                q, k_img = device_aug.augment_two_views(
-                    k_b, canv, img_type=args.folder,
-                    rotate_deg=float(args.rotate),
-                    out_dtype=common.compute_dtype(args))
+                if byol:
+                    q, k_img, _labels = (jnp.asarray(
+                        b, common.compute_dtype(args)) for b in batch)
+                    if n_dev > 1:
+                        q = pmesh.shard_batch(q, mesh)
+                        k_img = pmesh.shard_batch(k_img, mesh)
+                else:
+                    canv, _labels = batch
+                    canv = jnp.asarray(canv)
+                    if n_dev > 1:
+                        canv = pmesh.shard_batch(canv, mesh)
+                    q, k_img = device_aug.augment_two_views(
+                        k_b, canv, img_type=args.folder,
+                        rotate_deg=float(args.rotate),
+                        out_dtype=common.compute_dtype(args))
                 state, opt_state, loss = step(state, opt_state, q, k_img,
                                               jnp.float32(m))
-                ep_loss.update(float(loss), len(canv))
+                ep_loss.update(float(loss), int(q.shape[0]))
                 if writer is not None and i % args.print_freq == 0:
                     writer.add_scalar("pretrain/loss", float(loss),
                                       epoch * steps_per_epoch + i)

@@ -48,6 +48,25 @@ class CovidDataset:
         return self.transform(img), self.manifest.labels[idx]
 
 
+class CovidTwoCropsDataset:
+    """TwoCropsTransform semantics on the host (loader.py:13-22 +
+    Dataset_covid :130-133): the SAME decoded image through the transform
+    TWICE -> (q, k, label). Used for the BYOL/moco-v2 aug settings whose
+    stacks run host-side; the chexpert path instead draws its two views
+    on-device (device_aug.augment_two_views)."""
+
+    def __init__(self, folder: str, img_csv: str, transform: Transform):
+        self.manifest = parse_covid(img_csv, folder)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int):
+        img = ht.decode_bgr(self.manifest.paths[idx])
+        return self.transform(img), self.transform(img), self.manifest.labels[idx]
+
+
 class CovidPairedDataset:
     """Jointly-indexed CXR+Enh pairs: (img_cxr, img_enh, label).
 

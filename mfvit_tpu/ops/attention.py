@@ -289,31 +289,33 @@ mhsa_packed.defvjp(_mhsa_packed_fwd, _mhsa_packed_bwd)
 
 # -------------------------------------- transposed-layout fused attention
 
-def _packed_attn_kernel_t(qkv_ref, o_ref, *, heads: int, dim: int,
-                          scale: float, n_valid: int):
-    """Transposed-layout variant: qkv_ref block (CB, 3*dim, Np) — the
-    layout the qkv GEMM can emit DIRECTLY (no XLA-side transpose at all).
-    Head slices are 32-row sublane slices; N rides the 128-lane dim."""
+def _packed_attn_kernel_t(qkv_ref, o_ref, *, scale: float, n_valid: int):
+    """Transposed-layout variant: qkv_ref block (CB, 3, H, D, Np) — a pure
+    VIEW of the (B, 3*dim, N) tensor the qkv GEMM emits directly, so no
+    XLA-side transpose at all; N rides the 128-lane dim. All heads of one
+    image go through ONE batched dot_general (measured 2.7x faster than a
+    per-head matmul loop — the (Np,Np)x(D=32) matmuls are too small
+    individually)."""
     cb = qkv_ref.shape[0]
-    hd = dim // heads
     for b in range(cb):
-        for h in range(heads):
-            q = qkv_ref[b, h * hd:(h + 1) * hd, :]              # (D, Np)
-            k = qkv_ref[b, dim + h * hd:dim + (h + 1) * hd, :]
-            v = qkv_ref[b, 2 * dim + h * hd:2 * dim + (h + 1) * hd, :]
-            s = jax.lax.dot_general(
-                q, k, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale     # (Np, Np)
-            if n_valid != s.shape[-1]:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < n_valid, s, -1e30)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (D, Np)
-            o_ref[b, h * hd:(h + 1) * hd, :] = o.astype(o_ref.dtype)
+        q = qkv_ref[b, 0]  # (H, D, Np)
+        k = qkv_ref[b, 1]
+        v = qkv_ref[b, 2]
+        # s[h, i, j] = sum_d q[h, d, i] * k[h, d, j]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (H, Np, Np)
+        if n_valid != s.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < n_valid, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # o[h, d, i] = sum_j v[h, d, j] * p[h, i, j]
+        o = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (H, D, Np)
+        o_ref[b] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -330,27 +332,31 @@ def mhsa_packed_t(qkv_t, heads: int, scale: float, interpret: bool = False):
 def _mhsa_packed_t_impl(qkv_t, heads: int, scale: float, interpret: bool):
     B, three_dim, N = qkv_t.shape
     dim = three_dim // 3
+    hd = dim // heads
     Np = _round_up(N, 128)
-    CB = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    # CB=4 fits the 16MB VMEM budget with double-buffered blocks + the
+    # (H, Np, Np) fp32 score scratch; CB=8 OOMs (measured equal perf).
+    CB = next(c for c in (4, 2, 1) if B % c == 0)
     x = qkv_t if Np == N else jnp.pad(qkv_t, ((0, 0), (0, 0), (0, Np - N)))
-    kernel = functools.partial(_packed_attn_kernel_t, heads=heads, dim=dim,
-                               scale=scale, n_valid=N)
+    x = x.reshape(B, 3, heads, hd, Np)  # free view
+    kernel = functools.partial(_packed_attn_kernel_t, scale=scale, n_valid=N)
     out = pl.pallas_call(
         kernel,
         grid=(B // CB,),
-        in_specs=[pl.BlockSpec((CB, 3 * dim, Np), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((CB, 3, heads, hd, Np),
+                               lambda i: (i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CB, dim, Np), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((CB, heads, hd, Np), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, dim, Np), qkv_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, heads, hd, Np), qkv_t.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * heads * Np * Np * (dim // heads),
+            flops=2 * 2 * B * heads * Np * Np * hd,
             bytes_accessed=4 * B * Np * dim * qkv_t.dtype.itemsize,
             transcendentals=B * heads * Np * Np,
         ),
         interpret=interpret,
     )(x)
-    return out[:, :, :N]
+    return out.reshape(B, dim, Np)[:, :, :N]
 
 
 def _mhsa_packed_t_fwd(qkv_t, heads: int, scale: float, interpret: bool):

@@ -32,6 +32,24 @@ from mfvit_tpu.ssl import moco as moco_mod
 from mfvit_tpu.nn import vit as vit_mod
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN / multi-slice) initialization.
+
+    The TPU-native replacement for the reference's TCP rendezvous
+    (``dist.init_process_group('nccl', init_method='tcp://...')`` —
+    pretrain main :235-236): on Cloud TPU pods ``jax.distributed.initialize``
+    auto-discovers the coordinator; explicit args cover DCN setups. After
+    this, ``jax.devices()`` spans all hosts and the same mesh code works
+    unchanged (collectives ride ICI within a slice, DCN across)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",)) -> Mesh:
     """Build a mesh over the first ``n_devices`` devices (all by default).

@@ -162,3 +162,16 @@ def test_make_splits(tmp_path):
     lab = set(open(out / "0.5_labeled_train_0.txt").readlines())
     unlab = set(open(out / "0.5_unlabeled_train_0.txt").readlines())
     assert not (lab & unlab)
+
+
+def test_pretrain_cli_byol_aug(covid_root):
+    from mfvit_tpu.cli import pretrain
+    out = covid_root / "exp_byol"
+    results = pretrain.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "byol",
+        "-b", "8", "--epochs", "1", "--warmup-epochs", "0", "--cos",
+        "--lr", "1e-3", "--optimizer", "adamw",
+        "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "16",
+        "--aug-setting", "moco_v2", "--semi-ratios", "1"])
+    assert np.isfinite(results[0].extra["final_loss"])
