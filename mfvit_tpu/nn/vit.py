@@ -30,6 +30,7 @@ from mfvit_tpu.nn import posembed
 from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, mlp, mlp_init
 from mfvit_tpu.ops import attention as attn_ops
 from mfvit_tpu.ops.attention import mhsa_from_packed
+from mfvit_tpu.ops.fused_mlp import fused_mlp_block
 
 Params = Dict[str, Any]
 
@@ -44,6 +45,8 @@ class ViTConfig:
     heads: int = 12
     mlp_ratio: int = 4
     learned_pos: bool = False  # MoCo-v3 uses fixed sincos; *_ori learns it
+    conv_stem: bool = False    # MoCo-v3 vit_conv_*: 4x(conv3x3 s2+BN+ReLU)+1x1
+    qkv_bias: bool = True      # vit_conv_* sets qkv_bias=False
 
     @property
     def grid(self) -> int:
@@ -71,6 +74,12 @@ CONFIGS = {
                                learned_pos=True),
     "vit_base_ori": ViTConfig("vit_base_ori", dim=768, depth=12, heads=12,
                               learned_pos=True),
+    # MoCo-v3 ConvStem variants (one block dropped to offset the stem cost,
+    # qkv bias off) — names accepted by the reference mains (finetune :51-52)
+    "vit_conv_small": ViTConfig("vit_conv_small", dim=384, depth=11,
+                                heads=12, conv_stem=True, qkv_bias=False),
+    "vit_conv_base": ViTConfig("vit_conv_base", dim=768, depth=11,
+                               heads=12, conv_stem=True, qkv_bias=False),
 }
 
 
@@ -93,9 +102,34 @@ def init(key, cfg: ViTConfig, num_classes: int = 0,
     supports the stacked CXR+Enh input variant (builder_4ch.py:36-41).
     """
     keys = jax.random.split(key, cfg.depth + 4)
-    patch_in = cfg.patch * cfg.patch * in_chans
+    if cfg.conv_stem:
+        # ConvStem ("Early convolutions help transformers see better"):
+        # 4x conv3x3/s2 (C: in->dim/8->dim/4->dim/2->dim... doubling from
+        # dim//8) with BN+ReLU, then 1x1 conv to dim.
+        skeys = jax.random.split(keys[0], 5)
+        stem = []
+        cin, cout = in_chans, cfg.dim // 8
+        for l in range(4):
+            std = (2.0 / (9 * cout)) ** 0.5
+            stem.append({
+                "conv": {"w": std * jax.random.normal(
+                    skeys[l], (3, 3, cin, cout))},
+                "bn": {"scale": initzr.ones((cout,)),
+                       "bias": initzr.zeros((cout,)),
+                       "mean": initzr.zeros((cout,)),
+                       "var": initzr.ones((cout,))},
+            })
+            cin, cout = cout, cout * 2
+        proj_std = (2.0 / cfg.dim) ** 0.5
+        patch = {"stem": stem,
+                 "proj": {"w": proj_std * jax.random.normal(
+                     skeys[4], (1, 1, cin, cfg.dim)),
+                     "b": initzr.zeros((cfg.dim,))}}
+    else:
+        patch_in = cfg.patch * cfg.patch * in_chans
+        patch = linear_init(keys[0], patch_in, cfg.dim, dist="xavier_uniform")
     p: Params = {
-        "patch": linear_init(keys[0], patch_in, cfg.dim, dist="xavier_uniform"),
+        "patch": patch,
         "cls": initzr.trunc_normal(keys[1], (1, 1, cfg.dim), std=0.02),
         "norm": layernorm_init(cfg.dim),
         "blocks": [],
@@ -106,7 +140,8 @@ def init(key, cfg: ViTConfig, num_classes: int = 0,
         bk = jax.random.split(keys[3 + i], 4)
         p["blocks"].append({
             "norm1": layernorm_init(cfg.dim),
-            "qkv": linear_init(bk[0], cfg.dim, 3 * cfg.dim, dist="xavier_uniform"),
+            "qkv": linear_init(bk[0], cfg.dim, 3 * cfg.dim,
+                               dist="xavier_uniform", bias=cfg.qkv_bias),
             "proj": linear_init(bk[1], cfg.dim, cfg.dim),
             "norm2": layernorm_init(cfg.dim),
             "mlp": mlp_init(bk[2], cfg.dim, cfg.dim * cfg.mlp_ratio),
@@ -135,6 +170,30 @@ def patchify(imgs: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
+def _conv_stem(p: Params, imgs: jnp.ndarray) -> jnp.ndarray:
+    """MoCo-v3 ConvStem forward (inference-mode BN with running stats —
+    the reference only ever trains these archs under MoCo where the BN
+    stats ride the EMA/momentum machinery; finetune/fusion run frozen or
+    with stats treated as constants)."""
+    x = imgs
+    for layer in p["stem"]:
+        x = jax.lax.conv_general_dilated(
+            x, layer["conv"]["w"].astype(x.dtype), (2, 2),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        bn = layer["bn"]
+        xf = x.astype(jnp.float32)
+        xf = (xf - bn["mean"]) * jax.lax.rsqrt(bn["var"] + 1e-5)
+        x = jax.nn.relu((xf * bn["scale"] + bn["bias"]).astype(x.dtype))
+    x = jax.lax.conv_general_dilated(
+        x, p["proj"]["w"].astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + p["proj"]["b"].astype(x.dtype)
+    B, H, W, C = x.shape
+    return x.reshape(B, H * W, C)
+
+
 def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
           compute_dtype=jnp.bfloat16, attn_backend: str | None = None,
           stop_grad_conv1: bool = False, return_features: bool = False):
@@ -145,11 +204,14 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     ``(tokens, out)`` where tokens are ALL post-norm tokens (B, N+1, dim).
     """
     B = imgs.shape[0]
-    x = patchify(imgs.astype(compute_dtype), cfg.patch)
     patch_p = params["patch"]
     if stop_grad_conv1:
         patch_p = jax.tree.map(jax.lax.stop_gradient, patch_p)
-    x = linear(patch_p, x)  # (B, N, dim)
+    if cfg.conv_stem:
+        x = _conv_stem(patch_p, imgs.astype(compute_dtype))  # (B, N, dim)
+    else:
+        x = patchify(imgs.astype(compute_dtype), cfg.patch)
+        x = linear(patch_p, x)  # (B, N, dim)
     cls = jnp.broadcast_to(params["cls"].astype(compute_dtype), (B, 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1)
     if cfg.learned_pos:
@@ -169,7 +231,8 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             # dominates the attention half of the block).
             w = blk["qkv"]["w"].astype(h.dtype)
             qkv_t = jnp.einsum("bnd,dk->bkn", h, w)
-            qkv_t = qkv_t + blk["qkv"]["b"].astype(h.dtype)[None, :, None]
+            if "b" in blk["qkv"]:
+                qkv_t = qkv_t + blk["qkv"]["b"].astype(h.dtype)[None, :, None]
             attn_t = attn_ops.mhsa_packed_t(
                 qkv_t, cfg.heads, scale, backend == "pallas_interpret")
             wp = blk["proj"]["w"].astype(h.dtype)
@@ -180,7 +243,17 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             attn = mhsa_from_packed(qkv, cfg.heads, scale,
                                     backend=attn_backend)
             x = x + linear(blk["proj"], attn)
-        x = x + mlp(blk["mlp"], layernorm(blk["norm2"], x))
+        if backend in ("pallas", "pallas_interpret") and \
+                "wq" not in blk["mlp"]["fc1"]:
+            # fused LN+fc1+GELU+fc2+residual kernel (120 vs 80 TF/s on
+            # v5e — docs/PERF.md)
+            x = fused_mlp_block(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
+                blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
+                backend == "pallas_interpret")
+        else:
+            x = x + mlp(blk["mlp"], layernorm(blk["norm2"], x))
 
     tokens = layernorm(params["norm"], x)
     cls_out = tokens[:, 0].astype(jnp.float32)

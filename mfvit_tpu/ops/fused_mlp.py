@@ -1,0 +1,144 @@
+"""Fused transformer-MLP Pallas kernel: LN + fc1 + GELU + fc2 + residual.
+
+One pass over the activations with both weight matrices resident in VMEM:
+streams M-row tiles of (B*N, dim), does the LayerNorm, both GEMMs and the
+GELU on-chip and writes the residual-added output. Measured 120 TF/s vs
+XLA's 80 TF/s for the ViT-S MLP block on v5e (docs/PERF.md) — XLA spills
+the (M, 4*dim) hidden activation to HBM between its two GEMM fusions.
+
+GELU is exact-erf via the Abramowitz-Stegun 7.1.26 polynomial
+(|err| < 1.5e-7 — far below bf16 resolution; Pallas TPU cannot lower
+``erfc``). Backward is XLA math under ``custom_vjp``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+_TM = 512  # M-rows per grid step
+
+
+def _erf_poly(z: jnp.ndarray) -> jnp.ndarray:
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+
+
+def _gelu_exactish(h: jnp.ndarray) -> jnp.ndarray:
+    return h * 0.5 * (1.0 + _erf_poly(h * 0.7071067811865476))
+
+
+def _mlp_kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref):
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s_ref[...]
+         + ln_b_ref[...]).astype(x.dtype)
+    h = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _gelu_exactish(h + b1_ref[...]).astype(x.dtype)
+    y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b2_ref[...]
+    o_ref[...] = x + y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool = False):
+    """x (B, N, dim) -> x + MLP(LN(x)), all fused. Weights fp32 or bf16."""
+    return _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
+    B, N, D = x.shape
+    Hd = w1.shape[1]
+    M = B * N
+    Mp = ((M + _TM - 1) // _TM) * _TM
+    xp = x.reshape(M, D)
+    if Mp != M:
+        xp = jnp.pad(xp, ((0, Mp - M), (0, 0)))
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731 — weights resident across steps
+    out = pl.pallas_call(
+        _mlp_kernel,
+        grid=(Mp // _TM,),
+        in_specs=[
+            pl.BlockSpec((_TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TM, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * D * Hd * 2,
+            bytes_accessed=2 * Mp * D * x.dtype.itemsize + D * Hd * 4,
+            transcendentals=Mp * Hd,
+        ),
+        interpret=interpret,
+    )(xp, vec(ln_s), vec(ln_b), w1.astype(x.dtype), vec(b1),
+      w2.astype(x.dtype), vec(b2))
+    return out[:M].reshape(B, N, D)
+
+
+def _fwd(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
+    out = _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret)
+    return out, (x, ln_s, ln_b, w1, b1, w2, b2)
+
+
+def _bwd(interpret: bool, res, g):
+    """XLA-math backward (fp32), recomputing LN and the hidden activation."""
+    x, ln_s, ln_b, w1, b1, w2, b2 = res
+    B, N, D = x.shape
+    xf = x.reshape(-1, D).astype(jnp.float32)
+    gf = g.reshape(-1, D).astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = (xf - mu) * inv
+    h1 = xhat * ln_s + ln_b
+    w1f, w2f = w1.astype(jnp.float32), w2.astype(jnp.float32)
+    a = h1 @ w1f + b1
+    ga_pre = gf @ w2f.T
+    # exact gelu grad: 0.5*(1+erf(a/sqrt2)) + a * pdf(a)
+    cdf = 0.5 * (1.0 + jax.lax.erf(a * 0.7071067811865476))
+    pdf = jnp.exp(-0.5 * a * a) * 0.3989422804014327
+    ga = ga_pre * (cdf + a * pdf)
+    gelu_a = a * cdf
+    dw2 = gelu_a.T @ gf
+    db2 = jnp.sum(gf, 0)
+    dw1 = h1.T @ ga
+    db1 = jnp.sum(ga, 0)
+    dh1 = ga @ w1f.T
+    dscale = jnp.sum(dh1 * xhat, 0)
+    dbias = jnp.sum(dh1, 0)
+    # LayerNorm backward
+    dxhat = dh1 * ln_s
+    dx_ln = inv * (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+                   - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+    dx = (gf + dx_ln).reshape(B, N, D).astype(x.dtype)
+    return (dx, dscale.astype(ln_s.dtype), dbias.astype(ln_b.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
+fused_mlp_block.defvjp(_fwd, _bwd)

@@ -1,4 +1,4 @@
-from mfvit_tpu.train import metrics, optim, steps  # noqa: F401
+from mfvit_tpu.train import evaluator, metrics, optim, profiler, steps  # noqa: F401
 from mfvit_tpu.train.metrics import (AverageMeter, ProgressMeter,  # noqa: F401
                                      macro_ovr_auc, top1_acc)
 from mfvit_tpu.train.optim import build_optimizer, lars  # noqa: F401

@@ -1,0 +1,60 @@
+"""Fused LN+MLP+residual kernel: value and gradient parity with XLA."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.nn import vit
+from mfvit_tpu.nn.layers import layernorm, mlp
+from mfvit_tpu.ops.fused_mlp import fused_mlp_block
+
+
+def _xla_ref(x, ln_s, ln_b, w1, b1, w2, b2):
+    h = layernorm({"scale": ln_s, "bias": ln_b}, x)
+    h = jax.nn.gelu((h @ w1).astype(jnp.float32) + b1,
+                    approximate=False).astype(x.dtype)
+    return x + ((h @ w2).astype(jnp.float32) + b2).astype(x.dtype)
+
+
+@pytest.fixture
+def args(rng):
+    ks = jax.random.split(rng, 4)
+    D, Hd = 64, 256
+    x = jax.random.normal(ks[0], (2, 67, D), jnp.float32)
+    return (x, jnp.ones(D) * 1.1, jnp.zeros(D) + 0.05,
+            jax.random.normal(ks[1], (D, Hd)) * 0.05, jnp.zeros(Hd),
+            jax.random.normal(ks[2], (Hd, D)) * 0.05, jnp.zeros(D))
+
+
+def test_fused_mlp_values(args):
+    out = fused_mlp_block(*args, True)
+    ref = _xla_ref(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mlp_grads(args):
+    def loss_f(fn):
+        def inner(*a):
+            return jnp.sum(fn(*a) ** 2)
+        return inner
+
+    gp = jax.grad(loss_f(lambda *a: fused_mlp_block(*a, True)),
+                  argnums=tuple(range(7)))(*args)
+    gx = jax.grad(loss_f(_xla_ref), argnums=tuple(range(7)))(*args)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_vit_forward_with_fused_mlp_matches_xla(rng):
+    cfg = vit.ViTConfig("t", img_size=32, patch=16, dim=64, depth=2, heads=2)
+    params = vit.init(rng, cfg, num_classes=3)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    a = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                  attn_backend="xla")
+    b = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                  attn_backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-3)

@@ -66,3 +66,24 @@ def test_patchify_roundtrip():
     # first patch = top-left 4x4 block, (ph, pw, c) order
     expect = np.asarray(imgs)[0, :4, :4, :].reshape(-1)
     np.testing.assert_array_equal(np.asarray(p)[0, 0], expect)
+
+
+def test_vit_conv_stem_forward(rng):
+    """vit_conv_* ConvStem variants (MoCo-v3 names the reference accepts)."""
+    cfg = vit.ViTConfig("conv_t", img_size=32, patch=16, dim=32, depth=2,
+                        heads=2, conv_stem=True, qkv_bias=False)
+    params = vit.init(rng, cfg, num_classes=3)
+    assert "stem" in params["patch"] and len(params["patch"]["stem"]) == 4
+    assert "b" not in params["blocks"][0]["qkv"]
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                    attn_backend="xla")
+    assert out.shape == (2, 3)
+    # registered configs
+    c = vit.get_config("vit_conv_small")
+    assert c.depth == 11 and c.conv_stem and not c.qkv_bias
+    # gradients flow (stem BN stats are inference-mode constants)
+    g = jax.grad(lambda p: jnp.sum(vit.apply(
+        p, img, cfg, compute_dtype=jnp.float32, attn_backend="xla") ** 2))(params)
+    assert np.abs(np.asarray(
+        g["patch"]["stem"][0]["conv"]["w"])).max() > 0
