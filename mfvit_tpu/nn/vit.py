@@ -30,6 +30,7 @@ from mfvit_tpu.nn import posembed
 from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, mlp, mlp_init
 from mfvit_tpu.ops import attention as attn_ops
 from mfvit_tpu.ops.attention import mhsa_from_packed
+from mfvit_tpu.ops.fused_attn import fused_attention_block
 from mfvit_tpu.ops.fused_mlp import fused_mlp_block
 
 Params = Dict[str, Any]
@@ -222,29 +223,24 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
 
     scale = cfg.head_dim ** -0.5
     backend = attn_ops._resolve(attn_backend)
+    pallas_path = backend in ("pallas", "pallas_interpret")
     for blk in params["blocks"]:
-        h = layernorm(blk["norm1"], x)
-        if backend in ("pallas", "pallas_interpret") and "wq" not in blk["qkv"]:
-            # Transposed-layout path: the qkv GEMM emits (B, 3*dim, N)
-            # directly and proj consumes (B, dim, N) — zero explicit
-            # transposes around the fused kernel (its HBM cost otherwise
-            # dominates the attention half of the block).
-            w = blk["qkv"]["w"].astype(h.dtype)
-            qkv_t = jnp.einsum("bnd,dk->bkn", h, w)
-            if "b" in blk["qkv"]:
-                qkv_t = qkv_t + blk["qkv"]["b"].astype(h.dtype)[None, :, None]
-            attn_t = attn_ops.mhsa_packed_t(
-                qkv_t, cfg.heads, scale, backend == "pallas_interpret")
-            wp = blk["proj"]["w"].astype(h.dtype)
-            attn_out = jnp.einsum("bdn,de->bne", attn_t, wp)
-            x = x + attn_out + blk["proj"]["b"].astype(h.dtype)
+        if pallas_path and "wq" not in blk["qkv"]:
+            # One fused kernel: LN1 + qkv GEMM + MHSA + proj + residual
+            # (2.35 vs 4.31 ms for the unfused chain — docs/PERF.md).
+            bqkv = blk["qkv"].get(
+                "b", jnp.zeros((3 * cfg.dim,), jnp.float32))
+            x = fused_attention_block(
+                x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                blk["qkv"]["w"], bqkv, blk["proj"]["w"], blk["proj"]["b"],
+                cfg.heads, scale, backend == "pallas_interpret")
         else:
+            h = layernorm(blk["norm1"], x)
             qkv = linear(blk["qkv"], h)  # (B, N, 3*dim)
             attn = mhsa_from_packed(qkv, cfg.heads, scale,
                                     backend=attn_backend)
             x = x + linear(blk["proj"], attn)
-        if backend in ("pallas", "pallas_interpret") and \
-                "wq" not in blk["mlp"]["fc1"]:
+        if pallas_path and "wq" not in blk["mlp"]["fc1"]:
             # fused LN+fc1+GELU+fc2+residual kernel (120 vs 80 TF/s on
             # v5e — docs/PERF.md)
             x = fused_mlp_block(

@@ -1,0 +1,162 @@
+"""Fused attention half-block kernel: LN + qkv GEMM + MHSA + proj + residual.
+
+One Pallas kernel per transformer-block attention half, weights
+VMEM-resident, exact logical shapes (N=197 — no padding or key masking
+needed), scores never touch HBM. Measured 2.35 ms vs 4.31 ms for the
+separate LN/GEMM/kernel/GEMM chain at B=512 on v5e (docs/PERF.md).
+
+Layout inside: the qkv GEMM emits (3*dim, N) transposed directly
+(contraction on the weight's input dim), a free view gives (3, H, Dh, N),
+attention runs as batched-heads dot_generals, and the proj GEMM contracts
+the transposed output back to (N, dim) — zero transposes anywhere.
+
+Backward is XLA math under custom_vjp (fp32 recompute).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+
+def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, o_ref, *, heads: int, scale: float, has_bias: bool):
+    cb, N, D = x_ref.shape
+    Dh = D // heads
+    for b in range(cb):
+        xb = x_ref[b]  # (N, D)
+        xf = xb.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * lns_ref[...]
+             + lnb_ref[...]).astype(xb.dtype)
+        # qkv_t (3D, N) = wqkv^T h^T — transposed GEMM, no reshuffle
+        qkv_t = jax.lax.dot_general(
+            wqkv_ref[...], h, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if has_bias:
+            qkv_t = qkv_t + bqkv_ref[...].T
+        qkv = qkv_t.astype(xb.dtype).reshape(3, heads, Dh, N)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (H, N, N)
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, -1, keepdims=True)
+        o = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (H, Dh, N)
+        o = o.reshape(D, N).astype(xb.dtype)
+        y = jax.lax.dot_general(
+            o, wproj_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (N, D)
+        o_ref[b] = xb + (y + bproj_ref[...]).astype(xb.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_attention_block(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                          heads: int, scale: float, interpret: bool = False):
+    """x (B, N, dim) -> x + proj(MHSA(LN(x))). bqkv may be zeros for
+    bias-free qkv (vit_conv_* archs)."""
+    return _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale,
+                 interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret"))
+def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
+    B, N, D = x.shape
+    CB = next(c for c in (2, 1) if B % c == 0)
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    kern = functools.partial(_kernel, heads=heads, scale=scale,
+                             has_bias=True)
+    return pl.pallas_call(
+        kern,
+        grid=(B // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CB, N, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D * 4 * D + 4 * B * heads * N * N * (D // heads),
+            bytes_accessed=2 * B * N * D * x.dtype.itemsize + 4 * D * D * 4,
+            transcendentals=B * heads * N * N,
+        ),
+        interpret=interpret,
+    )(x, vec(ln_s), vec(ln_b), wqkv.astype(x.dtype), vec(bqkv),
+      wproj.astype(x.dtype), vec(bproj))
+
+
+def _fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
+    out = _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale,
+                interpret)
+    return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+
+
+def _bwd(heads, scale, interpret, res, g):
+    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
+    B, N, D = x.shape
+    Dh = D // heads
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = (xf - mu) * inv
+    h = xhat * ln_s + ln_b                                   # (B,N,D)
+    wq = wqkv.astype(jnp.float32)
+    wp = wproj.astype(jnp.float32)
+    qkv = (h @ wq + bqkv).reshape(B, N, 3, heads, Dh)
+    q = qkv[:, :, 0]
+    k = qkv[:, :, 1]
+    v = qkv[:, :, 2]                                          # (B,N,H,Dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    p = jax.nn.softmax(s, -1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, D)
+
+    # y = o @ wp + bproj; out = x + y
+    dy = gf
+    dwproj = jnp.einsum("bnd,bne->de", o, dy)
+    dbproj = jnp.sum(dy, (0, 1))
+    do = (dy @ wp.T).reshape(B, N, heads, Dh)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, do)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", do, v)
+    ds = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
+    dqkv = jnp.stack([dq, dk, dv], 2).reshape(B, N, 3 * D)
+    dwqkv = jnp.einsum("bnd,bnk->dk", h, dqkv)
+    dbqkv = jnp.sum(dqkv, (0, 1))
+    dh = dqkv @ wq.T
+    dscale_ln = jnp.sum(dh * xhat, (0, 1))
+    dbias_ln = jnp.sum(dh, (0, 1))
+    dxhat = dh * ln_s
+    dx_ln = inv * (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+                   - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+    dx = (gf + dx_ln).astype(x.dtype)
+    return (dx, dscale_ln.astype(ln_s.dtype), dbias_ln.astype(ln_b.dtype),
+            dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype))
+
+
+fused_attention_block.defvjp(_fwd, _bwd)
