@@ -54,7 +54,7 @@ def bench(batch: int, iters: int = 10, warmup: int = 2) -> float:
 
 def main():
     platform = jax.devices()[0].platform
-    batches = [256, 512, 1024] if platform == "tpu" else [8]
+    batches = [512, 1024, 2048] if platform == "tpu" else [8]
     best = 0.0
     best_b = 0
     for b in batches:

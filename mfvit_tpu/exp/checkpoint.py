@@ -144,6 +144,49 @@ def load_moco_pretrained_backbone(path: str, cfg) -> Params:
     return params
 
 
+# ---------------------------------------------- torch resnet -> pytree
+
+def torch_resnet_to_params(sd: Dict[str, np.ndarray], cfg,
+                           expect_fc: bool = True) -> Params:
+    """Map a torchvision resnet state dict to our nn/resnet.py pytree
+    (the reference loads torchvision checkpoints for the resnet MoCo arms
+    via load_state_dict_from_url — pretrain main :40, :52-62).
+
+    Conv weights (out, in, kh, kw) -> HWIO; BN running stats carried over.
+    """
+    def conv(name):
+        return {"w": jnp.asarray(np.asarray(sd[name]).transpose(2, 3, 1, 0))}
+
+    def bn(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"]),
+                "bias": jnp.asarray(sd[prefix + ".bias"]),
+                "mean": jnp.asarray(sd[prefix + ".running_mean"]),
+                "var": jnp.asarray(sd[prefix + ".running_var"])}
+
+    p: Params = {"stem": {"conv": conv("conv1.weight"), "bn": bn("bn1")},
+                 "stages": []}
+    for stage_i, nblocks in enumerate(cfg.layers):
+        stage = []
+        for b in range(nblocks):
+            pre = f"layer{stage_i + 1}.{b}."
+            blk: Params = {
+                "conv1": conv(pre + "conv1.weight"), "bn1": bn(pre + "bn1"),
+                "conv2": conv(pre + "conv2.weight"), "bn2": bn(pre + "bn2"),
+            }
+            if cfg.block == "bottleneck":
+                blk["conv3"] = conv(pre + "conv3.weight")
+                blk["bn3"] = bn(pre + "bn3")
+            if pre + "downsample.0.weight" in sd:
+                blk["down_conv"] = conv(pre + "downsample.0.weight")
+                blk["down_bn"] = bn(pre + "downsample.1")
+            stage.append(blk)
+        p["stages"].append(stage)
+    if expect_fc and "fc.weight" in sd:
+        p["fc"] = {"w": jnp.asarray(np.asarray(sd["fc.weight"]).T),
+                   "b": jnp.asarray(sd["fc.bias"])}
+    return p
+
+
 # ----------------------------------------------- torch fusion -> pytree
 
 def torch_fusion_to_params(sd: Dict[str, np.ndarray],

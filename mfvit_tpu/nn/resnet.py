@@ -66,7 +66,11 @@ def _conv_init(key, kh, kw, cin, cout) -> Params:
 
 
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1,
-          padding: str | int = "SAME") -> jnp.ndarray:
+          padding: str | int | None = None) -> jnp.ndarray:
+    if padding is None:
+        # torch semantics: symmetric (k-1)//2 both sides (XLA's SAME pads
+        # asymmetrically for stride 2, which shifts the grid by one pixel)
+        padding = (p["w"].shape[0] - 1) // 2
     if isinstance(padding, int):
         padding = [(padding, padding)] * 2
     return jax.lax.conv_general_dilated(

@@ -230,3 +230,69 @@ def test_moco_checkpoint_surgery(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["cls"]), tm.cls_token.detach().numpy())
     assert len(params["blocks"]) == TINY.depth
+
+
+class _TorchBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = self.bn2(self.conv2(h))
+        return torch.relu(h + idt)
+
+
+class _TorchResNet18(nn.Module):
+    """Minimal torchvision-compatible resnet18 (same state-dict names)."""
+
+    def __init__(self, num_classes=3):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        cin = 64
+        for li, (cout, stride) in enumerate(
+                [(64, 1), (128, 2), (256, 2), (512, 2)]):
+            blocks = nn.Sequential(_TorchBasicBlock(cin, cout, stride),
+                                   _TorchBasicBlock(cout, cout, 1))
+            setattr(self, f"layer{li + 1}", blocks)
+            cin = cout
+        self.fc = nn.Linear(512, num_classes)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.nn.functional.max_pool2d(x, 3, 2, 1)
+        for li in range(4):
+            x = getattr(self, f"layer{li + 1}")(x)
+        x = x.mean((2, 3))
+        return self.fc(x)
+
+
+def test_resnet18_logits_match_torch():
+    from mfvit_tpu.nn import resnet
+    tm = _TorchResNet18().eval()
+    # randomize BN stats so running-stat transfer is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()
+          if "num_batches_tracked" not in k}
+    cfg = resnet.get_config("resnet18")
+    params = ckpt.torch_resnet_to_params(sd, cfg)
+    img = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(img).permute(0, 3, 1, 2)).numpy()
+    ours, _ = resnet.apply(params, jnp.asarray(img), cfg,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
