@@ -31,6 +31,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from mfvit_tpu.nn import vit as vit_mod
 from mfvit_tpu.nn.layers import batchnorm, batchnorm_init, linear, linear_init
@@ -368,8 +369,7 @@ def make_pretrain_step(cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, tx, *,
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             grad_params, state, im_q, im_k, m)
         updates, opt_state = tx.update(grads, opt_state, grad_params)
-        import optax as _optax
-        new_gp = _optax.apply_updates(grad_params, updates)
+        new_gp = optax.apply_updates(grad_params, updates)
         # merge: gradient-updated base/predictor keep the BN running stats
         # computed in aux (stats are not gradient leaves: same values, but
         # aux's copies carry the forward's running-stat update)
