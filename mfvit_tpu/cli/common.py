@@ -138,6 +138,69 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
                                 num_workers=args.workers)
 
 
+def setup_mesh(args):
+    """Build the data mesh for a CLI run (--mesh-devices, default all).
+
+    Returns (mesh, n_devices). With n > 1 the caller replicates params /
+    optimizer state and shards batches — XLA then inserts the gradient
+    all-reduce (the DDP equivalent, SURVEY §2.6)."""
+    import jax as _jax
+
+    from mfvit_tpu.parallel import mesh as pmesh
+    if args.mesh_devices is None:
+        # default: largest device count that divides the batch
+        avail = len(_jax.devices())
+        n = next(d for d in range(avail, 0, -1)
+                 if args.batch_size % d == 0)
+    else:
+        n = args.mesh_devices
+    mesh = pmesh.make_mesh(n)
+    if n > 1:
+        pmesh.assert_divisible(args.batch_size, mesh)
+    return mesh, n
+
+
+def maybe_shard(x, mesh, n_dev: int):
+    if n_dev <= 1:
+        return x
+    from mfvit_tpu.parallel import mesh as pmesh
+    return pmesh.shard_batch(x, mesh)
+
+
+def maybe_replicate(tree, mesh, n_dev: int):
+    if n_dev <= 1:
+        return tree
+    from mfvit_tpu.parallel import mesh as pmesh
+    return pmesh.replicate(tree, mesh)
+
+
+def make_eval_runner(args, img_types, forward):
+    """Shared eval loop for the CLIs (finetune/fuse/infer) built on
+    train.evaluator.Evaluator: device-aug each flavor in eval mode, run the
+    jitted forward, trim pad_final wrapping, compute AUC/top-1.
+
+    ``img_types``: one flavor per image field in the batch (all fields but
+    the last, which is labels). ``forward(*imgs) -> logits``."""
+    from mfvit_tpu.data import device_aug
+    from mfvit_tpu.train.evaluator import Evaluator
+
+    dt = compute_dtype(args)
+
+    def batch_forward(batch):
+        *imgs, labels = batch
+        xs = []
+        for img, flavor in zip(imgs, img_types):
+            if args.aug_device:
+                xs.append(device_aug.augment_batch(
+                    jax.random.PRNGKey(0), jnp.asarray(img),
+                    img_type=flavor, training=False, out_dtype=dt))
+            else:
+                xs.append(jnp.asarray(img, dt))
+        return forward(*xs), labels
+
+    return Evaluator(batch_forward, metric_names=["auc", "acc"])
+
+
 def host_rng(args) -> np.random.Generator:
     return np.random.default_rng(args.seed if args.seed is not None else 0)
 

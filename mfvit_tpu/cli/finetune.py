@@ -62,28 +62,15 @@ def load_backbone(args, cfg) -> Optional[dict]:
 
 def evaluate(eval_step, params, loader, args, *, n_total: int):
     """Run the eval phase; returns (auc, acc, loss, logits, labels)."""
-    all_logits, all_labels = [], []
-    seen = 0
-    for batch in loader:
-        canv, labels = batch[0], batch[-1]
-        x = device_aug.augment_batch(
-            jax.random.PRNGKey(0), jnp.asarray(canv),
-            img_type=args.folder, training=False,
-            out_dtype=common.compute_dtype(args)) if args.aug_device \
-            else jnp.asarray(canv, common.compute_dtype(args))
-        logits = np.asarray(eval_step(params, x))
-        take = min(len(logits), n_total - seen)
-        all_logits.append(logits[:take])
-        all_labels.append(np.asarray(labels)[:take])
-        seen += take
-    logits = np.concatenate(all_logits)
-    labels = np.concatenate(all_labels)
-    auc = metrics.macro_ovr_auc(logits, labels, args.num_classes)
-    acc = metrics.top1_acc(logits, labels)
+    runner = common.make_eval_runner(
+        args, [args.folder], lambda x: eval_step(params, x))
+    res = runner.evaluate(loader, n_total=n_total)
+    logits, labels = res["logits"], res["labels"]
     loss = float(np.mean(
         -np.take_along_axis(
-            jax.nn.log_softmax(jnp.asarray(logits), -1), labels[:, None], -1)))
-    return auc, acc, loss, logits, labels
+            np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1)),
+            labels[:, None], -1)))
+    return res["auc"], res["acc"], loss, logits, labels
 
 
 def train_one_draw_fn(args, cfg):
@@ -130,6 +117,9 @@ def train_one_draw_fn(args, cfg):
             cfg, tx, compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend)
         opt_state = tx.init(params)
+        mesh, n_dev = common.setup_mesh(args)
+        params = common.maybe_replicate(params, mesh, n_dev)
+        opt_state = common.maybe_replicate(opt_state, mesh, n_dev)
 
         best = ckpt_mod.BestKeeper(sub_folder, mode="max")
         best_acc = ckpt_mod.BestKeeper(
@@ -150,8 +140,10 @@ def train_one_draw_fn(args, cfg):
                         out_dtype=common.compute_dtype(args))
                 else:
                     x = jnp.asarray(canv, common.compute_dtype(args))
+                x = common.maybe_shard(x, mesh, n_dev)
+                y = common.maybe_shard(jnp.asarray(labels), mesh, n_dev)
                 params, opt_state, loss, _ = train_step(
-                    params, opt_state, x, jnp.asarray(labels))
+                    params, opt_state, x, y)
                 ep_loss.update(float(loss), len(labels))
             val_auc, val_acc, val_loss, _, _ = evaluate(
                 eval_step, params, vl, args, n_total=n_val)

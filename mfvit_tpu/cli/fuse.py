@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_branch(path: str, cfg, ratio, draw) -> Optional[dict]:
+def load_branch(path: str, cfg, ratio, draw,
+                num_classes: int = 3) -> Optional[dict]:
     if not path:
         return None
     path = path.format(ratio=ratio, draw=draw)
@@ -64,34 +65,16 @@ def load_branch(path: str, cfg, ratio, draw) -> Optional[dict]:
         if any(k.startswith("module.") for k in sd):
             sd = ckpt_mod.strip_prefix(sd, "module.")
         return ckpt_mod.torch_vit_to_params(sd, cfg)
-    like = vit_mod.init(jax.random.PRNGKey(0), cfg, num_classes=3)
+    like = vit_mod.init(jax.random.PRNGKey(0), cfg, num_classes=num_classes)
     return ckpt_mod.restore(path, like=like)
 
 
 def evaluate(eval_step, params, loader, args, *, n_total: int):
-    all_logits, all_labels = [], []
-    seen = 0
-    dt = common.compute_dtype(args)
-    for cxr, enh, labels in loader:
-        if args.aug_device:
-            xc = device_aug.augment_batch(jax.random.PRNGKey(0),
-                                          jnp.asarray(cxr), img_type="data",
-                                          training=False, out_dtype=dt)
-            xe = device_aug.augment_batch(jax.random.PRNGKey(0),
-                                          jnp.asarray(enh),
-                                          img_type="Train_Mix",
-                                          training=False, out_dtype=dt)
-        else:
-            xc, xe = jnp.asarray(cxr, dt), jnp.asarray(enh, dt)
-        logits = np.asarray(eval_step(params, xc, xe))
-        take = min(len(logits), n_total - seen)
-        all_logits.append(logits[:take])
-        all_labels.append(np.asarray(labels)[:take])
-        seen += take
-    logits = np.concatenate(all_logits)
-    labels = np.concatenate(all_labels)
-    return (metrics.macro_ovr_auc(logits, labels, args.num_classes),
-            metrics.top1_acc(logits, labels))
+    runner = common.make_eval_runner(
+        args, ["data", "Train_Mix"],
+        lambda xc, xe: eval_step(params, xc, xe))
+    res = runner.evaluate(loader, n_total=n_total)
+    return res["auc"], res["acc"]
 
 
 def train_one_draw_fn(args, cfg):
@@ -111,7 +94,8 @@ def train_one_draw_fn(args, cfg):
         }
         for branch, path in (("cxr", args.pretrained_cxr),
                              ("enh", args.pretrained_enh)):
-            loaded = load_branch(path, cfg, ratio, draw)
+            loaded = load_branch(path, cfg, ratio, draw,
+                                 num_classes=args.num_classes)
             if loaded is not None:
                 params[branch] = loaded
 
@@ -150,6 +134,9 @@ def train_one_draw_fn(args, cfg):
             compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend)
         opt_state = tx.init(params)
+        mesh, n_dev = common.setup_mesh(args)
+        params = common.maybe_replicate(params, mesh, n_dev)
+        opt_state = common.maybe_replicate(opt_state, mesh, n_dev)
 
         best = ckpt_mod.BestKeeper(sub_folder, mode="max")
         result = harness.DrawResult(ratio, draw)
@@ -170,8 +157,11 @@ def train_one_draw_fn(args, cfg):
                         out_dtype=dt)
                 else:
                     xc, xe = jnp.asarray(cxr, dt), jnp.asarray(enh, dt)
+                xc = common.maybe_shard(xc, mesh, n_dev)
+                xe = common.maybe_shard(xe, mesh, n_dev)
+                y = common.maybe_shard(jnp.asarray(labels), mesh, n_dev)
                 params, opt_state, loss, _ = train_step(
-                    params, opt_state, xc, xe, jnp.asarray(labels))
+                    params, opt_state, xc, xe, y)
                 ep_loss.update(float(loss), len(labels))
             val_auc, val_acc = evaluate(eval_step, params, vl, args,
                                         n_total=n_val)

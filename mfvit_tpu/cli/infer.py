@@ -73,23 +73,19 @@ def main(argv=None):
     loader = common.make_covid_loader(args, args.manifest, "data",
                                       training=False, paired=True)
     n_total = len(loader.ds)
-    all_logits, all_labels = [], []
-    seen = 0
+    mesh, n_dev = common.setup_mesh(args)
+    params = common.maybe_replicate(params, mesh, n_dev)
+
+    def forward(xc, xe):
+        xc = common.maybe_shard(xc, mesh, n_dev)
+        xe = common.maybe_shard(xe, mesh, n_dev)
+        return fwd(params, xc, xe)
+
+    runner = common.make_eval_runner(args, ["data", "Train_Mix"], forward)
     t0 = time.perf_counter()
-    for cxr, enh, labels in loader:
-        xc = device_aug.augment_batch(k, jnp.asarray(cxr), img_type="data",
-                                      training=False, out_dtype=dt)
-        xe = device_aug.augment_batch(k, jnp.asarray(enh),
-                                      img_type="Train_Mix", training=False,
-                                      out_dtype=dt)
-        logits = np.asarray(fwd(params, xc, xe))
-        take = min(len(logits), n_total - seen)
-        all_logits.append(logits[:take])
-        all_labels.append(np.asarray(labels)[:take])
-        seen += take
+    res = runner.evaluate(loader, n_total=n_total)
     wall = time.perf_counter() - t0
-    logits = np.concatenate(all_logits)
-    labels = np.concatenate(all_labels)
+    logits, labels = res["logits"], res["labels"]
 
     out = {
         "predictions": logits.argmax(-1).tolist(),

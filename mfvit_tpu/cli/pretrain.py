@@ -133,6 +133,7 @@ def train_one_draw_fn(args, vit_cfg):
         best_loss = math.inf
         k_aug = jax.random.fold_in(key, 1)
         result = harness.DrawResult(ratio, draw)
+        ep_loss = metrics.AverageMeter("loss", ":.4f")  # survives empty loop
         for epoch in range(start_epoch, args.epochs):
             ep_loss = metrics.AverageMeter("loss", ":.4f")
             for i, batch in enumerate(tl):

@@ -73,7 +73,11 @@ class BatchLoader:
                 if self.drop_last:
                     break
                 if self.pad_final:
-                    chunk = np.concatenate([chunk, idx[: self.bs - len(chunk)]])
+                    # wrap-and-tile: fills the batch even when the whole
+                    # dataset is smaller than batch_size (static shape)
+                    reps = -(-(self.bs - len(chunk)) // max(len(idx), 1))
+                    pad = np.tile(idx, reps)[: self.bs - len(chunk)]
+                    chunk = np.concatenate([chunk, pad])
             batches.append(chunk)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

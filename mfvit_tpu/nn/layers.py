@@ -91,16 +91,20 @@ def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------- batchnorm (1d)
 
-def batchnorm_init(dim: int) -> Params:
+def batchnorm_init(dim: int, affine: bool = True) -> Params:
     """BatchNorm1d state for the MoCo projector/predictor MLPs
     (builder_vit_mocov3structure_mocov2loss.py:215-226 uses
-    Linear-BN-ReLU stacks)."""
-    return {
-        "scale": initzr.ones((dim,)),
-        "bias": initzr.zeros((dim,)),
+    Linear-BN-ReLU stacks). ``affine=False`` mirrors
+    ``nn.BatchNorm1d(dim, affine=False)`` (":76 removed gamma"): no
+    trainable scale/bias leaves at all."""
+    p: Params = {
         "mean": initzr.zeros((dim,)),
         "var": initzr.ones((dim,)),
     }
+    if affine:
+        p["scale"] = initzr.ones((dim,))
+        p["bias"] = initzr.zeros((dim,))
+    return p
 
 
 def batchnorm(p: Params, x: jnp.ndarray, *, training: bool,
@@ -130,5 +134,7 @@ def batchnorm(p: Params, x: jnp.ndarray, *, training: bool,
     else:
         mean, var = p["mean"], p["var"]
         new_state = p
-    y = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if "scale" in p:
+        y = y * p["scale"] + p["bias"]
     return y.astype(x.dtype), new_state

@@ -67,7 +67,10 @@ def quantize_vit_params(params: Params) -> Params:
     """Quantize a ViT param pytree's hot linears (qkv/proj/fc1/fc2 and the
     patch embedding). LN/cls/pos/head stay full precision."""
     q: Params = {
-        "patch": quantize_linear_params(params["patch"]),
+        # conv-stem patch embeds (vit_conv_*) stay full precision; only a
+        # matmul patch embed is quantized
+        "patch": (params["patch"] if "stem" in params["patch"]
+                  else quantize_linear_params(params["patch"])),
         "cls": params["cls"],
         "norm": params["norm"],
         "blocks": [],

@@ -118,7 +118,8 @@ def make_moco_parallel_step(cfg: moco_mod.MoCoConfig,
     def step(state, opt_state, im_q, im_k, m):
         if cfg.loss == "v2_queue":
             assert cfg.K % im_q.shape[0] == 0, (
-                f"K={cfg.K} must divide global batch {im_q.shape[0]}")
+                f"global batch {im_q.shape[0]} must divide the queue "
+                f"length K={cfg.K} (builder reference :99)")
         wrapped = shard_map(
             inner, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P()),

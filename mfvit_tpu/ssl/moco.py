@@ -108,9 +108,9 @@ def _mlp_init(key, num_layers: int, in_dim: int, mlp_dim: int, out_dim: int,
             else:
                 layer["relu_marker"] = initzr_zeros_marker()
         elif last_bn and use_bn:
-            bn = batchnorm_init(d2)
-            # affine-free BN: fixed scale/bias (":76 removed gamma" quirk)
-            layer["bn_noaffine"] = bn
+            # affine-free: running stats only, no gamma/beta (":76 removed
+            # gamma" — nn.BatchNorm1d(dim2, affine=False))
+            layer["bn_noaffine"] = batchnorm_init(d2, affine=False)
         layers.append(layer)
     return {"layers": layers}
 
@@ -208,6 +208,24 @@ def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
     return z, {"encoder": new_enc, "projector": new_proj}
 
 
+def _ema_update(momentum: Params, base: Params, m) -> Params:
+    """EMA over PARAMETERS only (builder :84-89 iterates ``parameters()``):
+    BN running ``mean``/``var`` buffers keep the momentum tower's own
+    values — they evolve from its own key forwards, not from the base."""
+
+    def walk(pk, pq, key=None):
+        if isinstance(pk, dict):
+            return {k: walk(pk[k], pq[k], k) for k in pk}
+        if isinstance(pk, (list, tuple)):
+            t = [walk(a, b) for a, b in zip(pk, pq)]
+            return type(pk)(t) if isinstance(pk, list) else tuple(t)
+        if key in ("mean", "var"):
+            return pk
+        return pk * m + jax.lax.stop_gradient(pq) * (1.0 - m)
+
+    return walk(momentum, base)
+
+
 def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
     return x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
 
@@ -233,9 +251,7 @@ def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
     momentum tower, updated queue/ptr, BN running stats) and the logits/
     labels for metrics — mirroring MoCo.forward (builder...:154-199)."""
     # EMA update of the momentum tower FIRST, as the reference does (:169)
-    new_momentum = jax.tree.map(
-        lambda pk, pq: pk * m + jax.lax.stop_gradient(pq) * (1.0 - m),
-        state["momentum"], state["base"])
+    new_momentum = _ema_update(state["momentum"], state["base"], m)
 
     # queries: base encoder -> projector -> predictor -> normalize (:164-165)
     zq, new_base = _encode(state["base"], im_q, cfg, vit_cfg, training=True,
@@ -307,9 +323,7 @@ def forward_v3_symmetric(state: Params, x1: jnp.ndarray, x2: jnp.ndarray,
                          compute_dtype=jnp.bfloat16):
     """MoCo-v3 symmetric objective (builder_vit.py:94-115): both views pass
     both towers; loss = ctr(q1,k2) + ctr(q2,k1). Queue unused."""
-    new_momentum = jax.tree.map(
-        lambda pk, pq: pk * m + jax.lax.stop_gradient(pq) * (1.0 - m),
-        state["momentum"], state["base"])
+    new_momentum = _ema_update(state["momentum"], state["base"], m)
 
     def q_branch(tower, pred, imgs):
         z, nt = _encode(tower, imgs, cfg, vit_cfg, training=True,
@@ -368,6 +382,11 @@ def make_pretrain_step(cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, tx, *,
         grad_params = {"base": state["base"], "predictor": state["predictor"]}
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             grad_params, state, im_q, im_k, m)
+        if axis_name is not None:
+            # the DDP all-reduce: per-device grads are of the LOCAL batch
+            # (grad-of-pmean only scales by 1/n); without this, replicated
+            # params silently diverge across the mesh
+            grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, grad_params)
         new_gp = optax.apply_updates(grad_params, updates)
         # merge: gradient-updated base/predictor keep the BN running stats

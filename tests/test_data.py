@@ -270,3 +270,15 @@ def test_rrc_blur_solarize_primitives():
     assert ht.gaussian_blur(img, 1.0).shape == img.shape
     sol = ht.solarize(np.full((4, 4, 3), 200, np.uint8))
     assert (sol == 55).all()  # 255 - 200
+
+
+def test_batch_loader_pad_final_tiny_dataset():
+    """pad_final must fill a full batch even when the dataset is smaller
+    than batch_size (static shapes for XLA)."""
+    dl = BatchLoader(_ToyDS(3), 8, drop_last=False, pad_final=True,
+                     shuffle=False, num_workers=1)
+    batches = [b for b in dl]
+    assert len(batches) == 1
+    assert batches[0][0].shape[0] == 8
+    np.testing.assert_array_equal(batches[0][0][:, 0, 0],
+                                  [0, 1, 2, 0, 1, 2, 0, 1])

@@ -175,3 +175,33 @@ def test_multi_device_gather_and_queue(state):
     np.testing.assert_allclose(np.asarray(queue_d[:, :B]),
                                np.asarray(aux_s["queue"][:, :B]),
                                atol=2e-4)
+
+
+def test_last_bn_is_affine_free(state):
+    """The projector/predictor final BN must have NO trainable scale/bias
+    (reference nn.BatchNorm1d(dim, affine=False) — builder :76)."""
+    last = state["base"]["projector"]["layers"][-1]
+    assert "bn_noaffine" in last
+    assert set(last["bn_noaffine"].keys()) == {"mean", "var"}
+
+
+def test_ema_excludes_bn_running_stats(state):
+    """EMA covers parameters only; momentum-tower BN stats evolve from its
+    own forwards (reference iterates parameters() — builder :84-89)."""
+    # make base and momentum BN stats differ
+    st = jax.tree.map(jnp.copy, state)
+    st["base"]["projector"]["layers"][0]["bn"]["mean"] = \
+        st["base"]["projector"]["layers"][0]["bn"]["mean"] + 5.0
+    mom_mean_before = np.asarray(
+        st["momentum"]["projector"]["layers"][0]["bn"]["mean"])
+    new_mom = moco._ema_update(st["momentum"], st["base"], 0.5)
+    # weights moved toward base
+    w_b = np.asarray(st["base"]["projector"]["layers"][0]["lin"]["w"])
+    w_m = np.asarray(st["momentum"]["projector"]["layers"][0]["lin"]["w"])
+    np.testing.assert_allclose(
+        np.asarray(new_mom["projector"]["layers"][0]["lin"]["w"]),
+        0.5 * w_m + 0.5 * w_b, rtol=1e-6)
+    # BN running mean did NOT move toward base's +5 offset
+    np.testing.assert_array_equal(
+        np.asarray(new_mom["projector"]["layers"][0]["bn"]["mean"]),
+        mom_mean_before)

@@ -83,3 +83,44 @@ def test_moco_parallel_step_replication_and_queue():
     state, opt_state, loss = step(state, opt_state, imq_s, imk_s,
                                   jnp.float32(0.99))
     assert int(state["queue_ptr"]) == 32
+
+
+def test_moco_parallel_matches_single_device():
+    """The 8-device sharded MoCo step must produce the SAME updated params
+    as the single-device step on the same global batch, and all per-device
+    shards must remain identical (true replication)."""
+    cfg = moco.MoCoConfig(dim=16, mlp_dim=32, K=64, T=0.2)
+    state0 = moco.init(jax.random.PRNGKey(0), cfg, TINY)
+    tx = optim.build_optimizer("sgd", 0.1)
+
+    imq = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    imk = jax.random.normal(jax.random.PRNGKey(2), (16, 32, 32, 3))
+
+    # single device
+    sstep = jax.jit(moco.make_pretrain_step(cfg, TINY, tx,
+                                            compute_dtype=jnp.float32))
+    s1 = jax.tree.map(jnp.copy, state0)
+    o1 = tx.init({"base": s1["base"], "predictor": s1["predictor"]})
+    s1, o1, loss1 = sstep(s1, o1, imq, imk, jnp.float32(0.99))
+
+    # 8-device mesh
+    m = pmesh.make_mesh(8)
+    step = pmesh.make_moco_parallel_step(cfg, TINY, tx, m,
+                                         compute_dtype=jnp.float32)
+    s8 = pmesh.replicate(state0, m)
+    o8 = pmesh.replicate(tx.init({"base": state0["base"],
+                                  "predictor": state0["predictor"]}), m)
+    s8, o8, loss8 = step(s8, o8, pmesh.shard_batch(imq, m),
+                         pmesh.shard_batch(imk, m), jnp.float32(0.99))
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    # per-device shards identical (replication preserved)
+    qkv8 = s8["base"]["encoder"]["blocks"][0]["qkv"]["w"]
+    shards = [np.asarray(x.data) for x in qkv8.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
+    # and equal to the single-device result
+    for a, b in zip(jax.tree_util.tree_leaves(s1["base"]),
+                    jax.tree_util.tree_leaves(s8["base"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=4e-4, atol=2e-6)

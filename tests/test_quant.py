@@ -45,3 +45,17 @@ def test_quantize_preserves_head_exactness(rng):
     np.testing.assert_array_equal(np.asarray(q["head"]["w"]),
                                   np.asarray(params["head"]["w"]))
     assert "wq" in q["blocks"][0]["qkv"]
+
+
+def test_quantize_conv_stem_vit(rng):
+    """vit_conv_* archs keep their conv stem full precision."""
+    cfg = vit.ViTConfig("ct", img_size=32, patch=16, dim=64, depth=1,
+                        heads=2, conv_stem=True, qkv_bias=False)
+    params = vit.init(rng, cfg, num_classes=3)
+    q = quant.quantize_vit_params(params)
+    assert "stem" in q["patch"]  # untouched
+    assert "wq" in q["blocks"][0]["proj"]
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = vit.apply(q, img, cfg, compute_dtype=jnp.float32,
+                    attn_backend="xla")
+    assert out.shape == (2, 3)

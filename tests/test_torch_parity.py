@@ -296,3 +296,31 @@ def test_resnet18_logits_match_torch():
     ours, _ = resnet.apply(params, jnp.asarray(img), cfg,
                            compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_fuse_branch_torch_checkpoint_loading(tmp_path):
+    """Cross-stage flow: a finetuned torch single-branch ckpt loads
+    strictly into a fusion branch (fusion main :337-390)."""
+    from mfvit_tpu.cli import fuse as fuse_cli
+    tm = TorchViT(TINY).eval()
+    sd = {k: torch.tensor(v) for k, v in tm.state_dict_vits_names().items()}
+    path = tmp_path / "model_best.pth.tar"
+    torch.save({"epoch": 5, "state_dict": sd}, path)
+
+    params = fuse_cli.load_branch(str(path), TINY, ratio=1, draw=0)
+    assert "head" in params
+    img = np.random.default_rng(3).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(img).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(vit.apply(params, jnp.asarray(img), TINY,
+                                compute_dtype=jnp.float32,
+                                attn_backend="xla"))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    # 'module.'-prefixed variant (DDP-saved) also loads
+    sd2 = {"module." + k: v for k, v in sd.items()}
+    path2 = tmp_path / "ddp.pth.tar"
+    torch.save({"state_dict": sd2}, path2)
+    params2 = fuse_cli.load_branch(str(path2), TINY, ratio=1, draw=0)
+    np.testing.assert_array_equal(np.asarray(params2["cls"]),
+                                  np.asarray(params["cls"]))
