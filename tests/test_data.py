@@ -282,3 +282,11 @@ def test_batch_loader_pad_final_tiny_dataset():
     assert batches[0][0].shape[0] == 8
     np.testing.assert_array_equal(batches[0][0][:, 0, 0],
                                   [0, 1, 2, 0, 1, 2, 0, 1])
+
+
+def test_device_prefetch():
+    from mfvit_tpu.data.pipeline import device_prefetch
+    batches = [(np.ones((2, 3), np.float32) * i, np.array([i])) for i in range(5)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    np.testing.assert_array_equal(np.asarray(out[3][0]), 3.0)

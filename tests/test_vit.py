@@ -87,3 +87,18 @@ def test_vit_conv_stem_forward(rng):
         p, img, cfg, compute_dtype=jnp.float32, attn_backend="xla") ** 2))(params)
     assert np.abs(np.asarray(
         g["patch"]["stem"][0]["conv"]["w"])).max() > 0
+
+
+def test_vit_learned_pos_variant(rng):
+    """vit_small_ori-style learned position embedding path."""
+    cfg = vit.ViTConfig("ori_t", img_size=32, patch=16, dim=32, depth=1,
+                        heads=2, learned_pos=True)
+    params = vit.init(rng, cfg, num_classes=3)
+    assert "pos" in params and params["pos"].shape == (1, cfg.seq_len, 32)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                    attn_backend="xla")
+    assert out.shape == (2, 3)
+    g = jax.grad(lambda p: jnp.sum(vit.apply(
+        p, img, cfg, compute_dtype=jnp.float32, attn_backend="xla") ** 2))(params)
+    assert np.abs(np.asarray(g["pos"])).max() > 0  # learned => has grads
