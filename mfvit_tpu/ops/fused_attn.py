@@ -43,16 +43,20 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         if has_bias:
             qkv_t = qkv_t + bqkv_ref[...].T
         qkv = qkv_t.astype(xb.dtype).reshape(3, heads, Dh, N)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # scale q up front: a (H, Dh, N) op instead of (H, N, N)
+        q = (qkv[0].astype(jnp.float32) * scale).astype(xb.dtype)
+        k, v = qkv[1], qkv[2]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # (H, N, N)
-        m = jnp.max(s, -1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, -1, keepdims=True)
+            preferred_element_type=jnp.float32)  # (H, N, N)
+        mx = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp(s - mx)
+        # normalization folded into the PV OUTPUT: one less (H,N,N) pass
+        r = 1.0 / jnp.sum(p, -1, keepdims=True)         # (H, N, 1)
         o = jax.lax.dot_general(
             v, p.astype(v.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (H, Dh, N)
+        o = o * r.reshape(heads, 1, N)
         o = o.reshape(D, N).astype(xb.dtype)
         y = jax.lax.dot_general(
             o, wproj_ref[...], (((0,), (0,)), ((), ())),
