@@ -224,7 +224,23 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     scale = cfg.head_dim ** -0.5
     backend = attn_ops._resolve(attn_backend)
     pallas_path = backend in ("pallas", "pallas_interpret")
+    interp = backend == "pallas_interpret"
     for blk in params["blocks"]:
+        if "qkv8" in blk:
+            # int8 W8A8 serving path (ops/fused_int8.py): quantization
+            # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16
+            from mfvit_tpu.ops import fused_int8 as fi8
+            x = fi8.fused_attention_block_i8(
+                x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                blk["qkv8"]["q"], blk["qkv8"]["s"], blk["qkv8"]["b"],
+                blk["proj8"]["q"], blk["proj8"]["s"], blk["proj8"]["b"],
+                cfg.heads, scale, interp)
+            x = fi8.fused_mlp_block_i8(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                blk["fc18"]["q"], blk["fc18"]["s"], blk["fc18"]["b"],
+                blk["fc28"]["q"], blk["fc28"]["s"], blk["fc28"]["b"],
+                interp)
+            continue
         if pallas_path and "wq" not in blk["qkv"]:
             # One fused kernel: LN1 + qkv GEMM + MHSA + proj + residual
             # (2.35 vs 4.31 ms for the unfused chain — docs/PERF.md).

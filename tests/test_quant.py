@@ -59,3 +59,23 @@ def test_quantize_conv_stem_vit(rng):
     out = vit.apply(q, img, cfg, compute_dtype=jnp.float32,
                     attn_backend="xla")
     assert out.shape == (2, 3)
+
+
+def test_int8_fused_serving_path(rng):
+    """The in-kernel W8A8 path (fused_int8) matches the bf16 path: same
+    top-1, small logit drift."""
+    from mfvit_tpu.ops import fused_int8 as fi8
+    cfg = vit.ViTConfig("t8", img_size=32, patch=16, dim=64, depth=2,
+                        heads=2)
+    params = vit.init(rng, cfg, num_classes=3)
+    qparams = fi8.quantize_vit_for_serving(params)
+    assert "qkv8" in qparams["blocks"][0]
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    ref = np.asarray(vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                               attn_backend="xla"))
+    out = np.asarray(vit.apply(qparams, img, cfg,
+                               compute_dtype=jnp.float32,
+                               attn_backend="pallas_interpret"))
+    assert (out.argmax(-1) == ref.argmax(-1)).all()
+    assert np.abs(out - ref).max() < 0.2 * max(1.0, np.abs(ref).max()), \
+        np.abs(out - ref).max()
