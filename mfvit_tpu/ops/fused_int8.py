@@ -66,7 +66,7 @@ def _mlp_kernel_i8(x_ref, lns_ref, lnb_ref, w1q_ref, w1s_ref, b1_ref,
     o_ref[...] = x + y.astype(x.dtype)
 
 
-_TM = 512
+from mfvit_tpu.ops.fused_mlp import _tile_m
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -74,8 +74,9 @@ def fused_mlp_block_i8(x, ln_s, ln_b, w1q, w1s, b1, w2q, w2s, b2,
                        interpret: bool = False):
     B, N, D = x.shape
     Hd = w1q.shape[1]
+    TM = _tile_m(D, Hd)
     M = B * N
-    Mp = ((M + _TM - 1) // _TM) * _TM
+    Mp = ((M + TM - 1) // TM) * TM
     xp = x.reshape(M, D)
     if Mp != M:
         xp = jnp.pad(xp, ((0, Mp - M), (0, 0)))
@@ -86,9 +87,9 @@ def fused_mlp_block_i8(x, ln_s, ln_b, w1q, w1s, b1, w2q, w2s, b2,
     const = lambda i: (0, 0)  # noqa: E731
     out = pl.pallas_call(
         _mlp_kernel_i8,
-        grid=(Mp // _TM,),
+        grid=(Mp // TM,),
         in_specs=[
-            pl.BlockSpec((_TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
@@ -98,7 +99,7 @@ def fused_mlp_block_i8(x, ln_s, ln_b, w1q, w1s, b1, w2q, w2s, b2,
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TM, D), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TM, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, D), x.dtype),
         cost_estimate=pl.CostEstimate(

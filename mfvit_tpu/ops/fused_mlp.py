@@ -22,7 +22,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 Params = Dict[str, Any]
 
-_TM = 512  # M-rows per grid step
+def _tile_m(dim: int, hidden: int, itemsize: int = 2) -> int:
+    """M-rows per grid step, sized to the 16MB VMEM budget: weights
+    (dim*hidden*2) + double-buffered x/out tiles + the fp32 hidden tile.
+    512 fits ViT-S (384/1536, measured optimal); larger dims shrink."""
+    for tm in (512, 256, 128):
+        weights = 2 * dim * hidden * itemsize
+        act = tm * hidden * 4 + 4 * tm * dim * itemsize
+        if weights + act < 13 * 1024 * 1024:
+            return tm
+    return 128
 
 
 def _erf_poly(z: jnp.ndarray) -> jnp.ndarray:
@@ -64,8 +73,9 @@ def fused_mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool = False):
 def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
     B, N, D = x.shape
     Hd = w1.shape[1]
+    TM = _tile_m(D, Hd)
     M = B * N
-    Mp = ((M + _TM - 1) // _TM) * _TM
+    Mp = ((M + TM - 1) // TM) * TM
     xp = x.reshape(M, D)
     if Mp != M:
         xp = jnp.pad(xp, ((0, Mp - M), (0, 0)))
@@ -76,9 +86,9 @@ def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
     const = lambda i: (0, 0)  # noqa: E731 — weights resident across steps
     out = pl.pallas_call(
         _mlp_kernel,
-        grid=(Mp // _TM,),
+        grid=(Mp // TM,),
         in_specs=[
-            pl.BlockSpec((_TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
@@ -86,7 +96,7 @@ def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
             pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TM, D), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TM, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, D), x.dtype),
         cost_estimate=pl.CostEstimate(
