@@ -196,6 +196,24 @@ def main(argv=None):
     results = harness.run_draws(folder, ratios,
                                 train_one_draw_fn(args, cfg),
                                 iterations=iterations)
+    # lr.jpg schedule curve (reference finetune :632-633)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
+                                       cos=args.cos, entry="finetune")
+        sched = optim.finetune_lr(init_lr, args.epochs, cos=args.cos,
+                                  schedule=args.schedule, steps_per_epoch=1)
+        lrs = [float(sched(e)) for e in range(args.epochs)]
+        plt.figure()
+        plt.plot(lrs)
+        plt.xlabel("epoch")
+        plt.ylabel("lr")
+        plt.savefig(str(folder / "lr.jpg"))
+        plt.close()
+    except Exception as e:  # pragma: no cover - plotting is best-effort
+        print(f"lr.jpg skipped: {e}")
     for r in results:
         print(f"ratio {r.ratio} draw {r.draw}: "
               f"test auc {r.test_auc:.4f} acc {r.test_acc:.4f}")
