@@ -110,13 +110,133 @@ def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
     return out[:M].reshape(B, N, D)
 
 
+def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref):
+    """Fused backward: recompute LN/hidden in VMEM, all five gradient
+    GEMMs on-chip, weight/bias grads accumulated across the sequential
+    grid (outputs with constant index_map)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = (x - mu) * inv
+    h1 = (xhat * lns_ref[...] + lnb_ref[...]).astype(jnp.bfloat16)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    a = jax.lax.dot_general(h1, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b1_ref[...]
+    erf = _erf_poly(a * 0.7071067811865476)
+    cdf = 0.5 * (1.0 + erf)
+    pdf = jnp.exp(-0.5 * a * a) * 0.3989422804014327
+    ga_pre = jax.lax.dot_general(g, w2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    ga = (ga_pre * (cdf + a * pdf)).astype(jnp.bfloat16)
+    gelu_a = (a * cdf).astype(jnp.bfloat16)
+    gb = g.astype(jnp.bfloat16)
+    dw2_ref[...] += jax.lax.dot_general(gelu_a, gb, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(g, 0, keepdims=True)
+    dw1_ref[...] += jax.lax.dot_general(h1, ga, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(ga.astype(jnp.float32), 0, keepdims=True)
+    dh1 = jax.lax.dot_general(ga, w1, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds_ref[...] += jnp.sum(dh1 * xhat, 0, keepdims=True)
+    db_ref[...] += jnp.sum(dh1, 0, keepdims=True)
+    dxhat = dh1 * lns_ref[...]
+    dx_ln = inv * (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+                   - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+    dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_mlp_bwd_impl(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
+    B, N, D = x.shape
+    Hd = w1.shape[1]
+    TM = min(_tile_m(D, Hd), 256)  # bwd holds 3 (TM, Hd) fp32 temps
+    M = B * N
+    Mp = ((M + TM - 1) // TM) * TM
+    gp = g.reshape(M, D)
+    xp = x.reshape(M, D)
+    if Mp != M:
+        gp = jnp.pad(gp, ((0, Mp - M), (0, 0)))
+        xp = jnp.pad(xp, ((0, Mp - M), (0, 0)))
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    row = lambda i: (i, 0)  # noqa: E731
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(Mp // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, D), x.dtype),
+            jax.ShapeDtypeStruct((D, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((Hd, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * Mp * D * Hd,
+            bytes_accessed=3 * Mp * D * x.dtype.itemsize + 2 * D * Hd * 4,
+            transcendentals=2 * Mp * Hd,
+        ),
+        interpret=interpret,
+    )(gp, xp, vec(ln_s), vec(ln_b), w1.astype(jnp.bfloat16), vec(b1),
+      w2.astype(jnp.bfloat16))
+    dx, dw1, db1, dw2, db2, dscale, dbias = outs
+    return (dx[:M].reshape(B, N, D), dscale[0], dbias[0], dw1, db1[0],
+            dw2, db2[0])
+
+
 def _fwd(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
     out = _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret)
     return out, (x, ln_s, ln_b, w1, b1, w2, b2)
 
 
 def _bwd(interpret: bool, res, g):
-    """XLA-math backward (fp32), recomputing LN and the hidden activation."""
+    """Fused Pallas backward (recompute-in-VMEM)."""
+    x, ln_s, ln_b, w1, b1, w2, b2 = res
+    dx, dscale, dbias, dw1, db1, dw2, db2 = _fused_mlp_bwd_impl(
+        g, x, ln_s, ln_b, w1, b1, w2, interpret)
+    return (dx, dscale.astype(ln_s.dtype), dbias.astype(ln_b.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
+def _bwd_xla_reference(interpret: bool, res, g):
+    """XLA-math backward (fp32) — kept as the numerical reference."""
     x, ln_s, ln_b, w1, b1, w2, b2 = res
     B, N, D = x.shape
     xf = x.reshape(-1, D).astype(jnp.float32)
