@@ -111,6 +111,154 @@ def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
       wproj.astype(x.dtype), vec(bproj))
 
 
+def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                wproj_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                dbproj_ref, ds_ref, db_ref, *, heads: int, scale: float,
+                has_bias: bool):
+    """Fused attention-half backward: recompute LN/qkv/softmax in VMEM,
+    all gradient GEMMs on-chip, weight grads accumulated across the
+    sequential grid."""
+    cb, N, D = x_ref.shape
+    Dh = D // heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    wq = wqkv_ref[...]
+    wp = wproj_ref[...]
+    for b in range(cb):
+        xb = x_ref[b].astype(jnp.float32)          # (N, D)
+        gb = g_ref[b].astype(jnp.float32)
+        mu = jnp.mean(xb, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xb - mu), -1, keepdims=True)
+        inv = jax.lax.rsqrt(var + 1e-6)
+        xhat = (xb - mu) * inv
+        h = (xhat * lns_ref[...] + lnb_ref[...]).astype(jnp.bfloat16)
+        # recompute forward attention pieces (INCLUDING the qkv bias —
+        # omitting it once produced a 13% dwproj error)
+        qkv_t = jax.lax.dot_general(wq, h, (((0,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        if has_bias:
+            qkv_t = qkv_t + bqkv_ref[...].T
+        qkv = qkv_t.astype(jnp.bfloat16).reshape(3, heads, Dh, N)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        mx = jnp.max(s, -1, keepdims=True)
+        e = jnp.exp(s - mx)
+        p = e / jnp.sum(e, -1, keepdims=True)      # (H, N, N) fp32
+        pb = p.astype(jnp.bfloat16)
+        o = jax.lax.dot_general(v, pb, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o = o.reshape(D, N)                          # (D, N) fp32
+
+        gbf = gb.astype(jnp.bfloat16)
+        # proj grads: y = o^T wproj + bproj. Kept fp32 — cancellation-heavy
+        # sums, and this GEMM is tiny (D*N*D) so fp32 is free.
+        dwproj_ref[...] += jax.lax.dot_general(
+            o, gb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (D, Dout)
+        o = o.astype(jnp.bfloat16)
+        dbproj_ref[...] += jnp.sum(gb, 0, keepdims=True)
+        # do (D, N) = wproj @ g^T
+        do = jax.lax.dot_general(wp, gbf, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        doh = do.astype(jnp.bfloat16).reshape(heads, Dh, N)
+        # attention backward (batched heads)
+        dv = jax.lax.dot_general(doh, pb, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)  # (H,Dh,N)
+        dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)  # (H,N,N)
+        dsm = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+        dsb = dsm.astype(jnp.bfloat16)
+        dq = jax.lax.dot_general(k, dsb, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(q, dsb, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dqkv_t = jnp.concatenate(
+            [dq.reshape(D, N), dk.reshape(D, N), dv.reshape(D, N)],
+            axis=0).astype(jnp.bfloat16)            # (3D, N)
+        # qkv GEMM grads: qkv_t = wq^T h^T
+        dwqkv_ref[...] += jax.lax.dot_general(
+            h, dqkv_t, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (D, 3D)
+        if has_bias:
+            dbqkv_ref[...] += jnp.sum(
+                dqkv_t.astype(jnp.float32), 1, keepdims=True).T
+        # dh (N, D) = dqkv_t^T wq^T
+        dh = jax.lax.dot_general(dqkv_t, wq, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (N, D)
+        ds_ref[...] += jnp.sum(dh * xhat, 0, keepdims=True)
+        db_ref[...] += jnp.sum(dh, 0, keepdims=True)
+        dxhat = dh * lns_ref[...]
+        dx_ln = inv * (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+                       - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+        dx_ref[b] = (gb + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
+                                             "has_bias"))
+def _fused_attn_bwd_impl(g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads, scale,
+                         interpret, has_bias=True):
+    B, N, D = x.shape
+    CB = next(c for c in (2, 1) if B % c == 0)
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    blk = lambda i: (i, 0, 0)  # noqa: E731
+    kern = functools.partial(_bwd_kernel, heads=heads, scale=scale,
+                             has_bias=has_bias)
+    outs = pl.pallas_call(
+        kern,
+        grid=(B // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * B * N * D * 4 * D + 4 * B * heads * N * N *
+                       (D // heads)),
+            bytes_accessed=3 * B * N * D * x.dtype.itemsize + 8 * D * D * 4,
+            transcendentals=B * heads * N * N,
+        ),
+        interpret=interpret,
+    )(g, x, vec(ln_s), vec(ln_b), wqkv.astype(jnp.bfloat16), vec(bqkv),
+      wproj.astype(jnp.bfloat16))
+    dx, dwqkv, dbqkv, dwproj, dbproj, dscale, dbias = outs
+    return dx, dwqkv, dbqkv[0], dwproj, dbproj[0], dscale[0], dbias[0]
+
+
 def _fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
     out = _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale,
                 interpret)
@@ -118,6 +266,15 @@ def _fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
 
 
 def _bwd(heads, scale, interpret, res, g):
+    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
+    dx, dwqkv, dbqkv, dwproj, dbproj, dscale, dbias = _fused_attn_bwd_impl(
+        g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads, scale, interpret)
+    return (dx, dscale.astype(ln_s.dtype), dbias.astype(ln_b.dtype),
+            dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype))
+
+
+def _bwd_xla_reference(heads, scale, interpret, res, g):
     x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
     Dh = D // heads
