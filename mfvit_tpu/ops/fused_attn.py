@@ -267,6 +267,10 @@ def _fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
 
 def _bwd(heads, scale, interpret, res, g):
     x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
+    D = x.shape[-1]
+    if D > 512:
+        # fp32 weight-grad accumulators don't fit VMEM beyond ViT-S dims
+        return _bwd_xla_reference(heads, scale, interpret, res, g)
     dx, dwqkv, dbqkv, dwproj, dbproj, dscale, dbias = _fused_attn_bwd_impl(
         g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads, scale, interpret)
     return (dx, dscale.astype(ln_s.dtype), dbias.astype(ln_b.dtype),

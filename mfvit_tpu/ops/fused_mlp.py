@@ -226,8 +226,13 @@ def _fwd(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
 
 
 def _bwd(interpret: bool, res, g):
-    """Fused Pallas backward (recompute-in-VMEM)."""
+    """Fused Pallas backward (recompute-in-VMEM) when the fp32 weight-grad
+    accumulators fit the VMEM budget (ViT-S class); XLA math otherwise
+    (vit_base's 768x3072 accumulators alone are 19MB)."""
     x, ln_s, ln_b, w1, b1, w2, b2 = res
+    D, Hd = w1.shape
+    if 2 * D * Hd * 4 > 8 * 1024 * 1024:
+        return _bwd_xla_reference(interpret, res, g)
     dx, dscale, dbias, dw1, db1, dw2, db2 = _fused_mlp_bwd_impl(
         g, x, ln_s, ln_b, w1, b1, w2, interpret)
     return (dx, dscale.astype(ln_s.dtype), dbias.astype(ln_b.dtype),
