@@ -23,7 +23,7 @@ from mfvit_tpu.nn import vit
 TARGET_PAIRS_PER_SEC = 5000.0
 
 
-def bench(batch: int, iters: int = 10, warmup: int = 2) -> float:
+def bench(batch: int, iters: int = 20, warmup: int = 2) -> float:
     import numpy as np
 
     cfg = vit.get_config("vit_small")
