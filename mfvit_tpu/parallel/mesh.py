@@ -140,13 +140,15 @@ def jit_data_parallel(step_fn, mesh: Mesh, *, donate: Sequence[int] = (0, 1),
     rep = replicated(mesh)
     shd = batch_sharded(mesh, axis)
 
-    def in_shardings(nargs):
-        return tuple(rep if i < n_state_args else shd for i in range(nargs))
+    @functools.lru_cache(maxsize=None)
+    def jitted_for(nargs: int):
+        shardings = tuple(rep if i < n_state_args else shd
+                          for i in range(nargs))
+        return jax.jit(step_fn, in_shardings=shardings,
+                       donate_argnums=tuple(donate))
 
     @functools.wraps(step_fn)
     def call(*args):
-        jitted = jax.jit(step_fn, in_shardings=in_shardings(len(args)),
-                         donate_argnums=tuple(donate))
-        return jitted(*args)
+        return jitted_for(len(args))(*args)
 
     return call

@@ -14,6 +14,51 @@ from mfvit_tpu.train import optim, steps
 TINY = vit.ViTConfig("tiny", img_size=32, patch=16, dim=32, depth=1, heads=2)
 
 
+def test_jit_data_parallel_no_retrace(rng):
+    """jit_data_parallel must create the jitted step ONCE per arity —
+    re-creating it per call would retrace every step."""
+    m = pmesh.make_mesh(8)
+    traces = []
+
+    def step(params, opt_state, x):
+        traces.append(1)
+        return params, opt_state, jnp.sum(x * params["w"])
+
+    call = pmesh.jit_data_parallel(step, m)
+    p = pmesh.replicate({"w": jnp.float32(2.0)}, m)
+    s = pmesh.replicate({"mu": jnp.float32(0.0)}, m)
+    for i in range(3):
+        x = pmesh.shard_batch(jnp.ones((8, 4)) * i, m)
+        p, s, out = call(p, s, x)
+    assert len(traces) == 1
+    np.testing.assert_allclose(float(out), 2.0 * 8 * 4 * 2)
+
+
+def test_init_distributed_plumbs_coordinator(monkeypatch):
+    """init_distributed forwards explicit coordinator args to
+    jax.distributed.initialize (multi-host DCN path, mocked — the
+    reference's tcp:// rendezvous equivalent, pretrain main :235-236)."""
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    pmesh.init_distributed()
+    pmesh.init_distributed("10.0.0.1:1234", num_processes=4, process_id=2)
+    assert calls[0] == {}
+    assert calls[1] == dict(coordinator_address="10.0.0.1:1234",
+                            num_processes=4, process_id=2)
+
+
+def test_dryrun_multichip_bootstraps_subprocess(monkeypatch, capfd):
+    """When the ambient runtime can't host the mesh, dryrun_multichip must
+    re-exec itself with a virtual CPU mesh (the driver runs it under the
+    single-chip axon env with no flags — MULTICHIP_r01 failure mode)."""
+    import __graft_entry__ as g
+    monkeypatch.setattr(g, "_env_supports", lambda n: False)
+    g.dryrun_multichip(4)
+    out = capfd.readouterr().out
+    assert "dryrun_multichip(4)" in out and "OK" in out
+
+
 def test_make_mesh_and_helpers():
     m = pmesh.make_mesh(8)
     assert m.shape["data"] == 8
