@@ -27,9 +27,16 @@ Params = Dict[str, Any]
 
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, o_ref, *, heads: int, scale: float, has_bias: bool):
+    """Per-image math is the classic chain; ISSUE ORDER is staged so the
+    VPU softmax of image b+1 overlaps the MXU PV/proj GEMMs of image b
+    (in-order issue per engine queue, async across queues — measured
+    6.33 vs 6.65 ms/block at CB=4, tools/bench_pipelined.py)."""
     cb, N, D = x_ref.shape
     Dh = D // heads
-    for b in range(cb):
+    wq = wqkv_ref[...]
+    wp = wproj_ref[...]
+
+    def qkv_of(b):
         xb = x_ref[b]  # (N, D)
         xf = xb.astype(jnp.float32)
         mu = jnp.mean(xf, -1, keepdims=True)
@@ -38,30 +45,46 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
              + lnb_ref[...]).astype(xb.dtype)
         # qkv_t (3D, N) = wqkv^T h^T — transposed GEMM, no reshuffle
         qkv_t = jax.lax.dot_general(
-            wqkv_ref[...], h, (((0,), (1,)), ((), ())),
+            wq, h, (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if has_bias:
             qkv_t = qkv_t + bqkv_ref[...].T
-        qkv = qkv_t.astype(xb.dtype).reshape(3, heads, Dh, N)
+        return qkv_t.astype(xb.dtype).reshape(3, heads, Dh, N)
+
+    def scores_of(qkv):
         # scale q up front: a (H, Dh, N) op instead of (H, N, N)
-        q = (qkv[0].astype(jnp.float32) * scale).astype(xb.dtype)
-        k, v = qkv[1], qkv[2]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((0,), (0,))),
+        q = (qkv[0].astype(jnp.float32) * scale).astype(qkv.dtype)
+        return jax.lax.dot_general(
+            q, qkv[1], (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (H, N, N)
+
+    def softmax_of(s):
         mx = jnp.max(s, -1, keepdims=True)
         p = jnp.exp(s - mx)
         # normalization folded into the PV OUTPUT: one less (H,N,N) pass
         r = 1.0 / jnp.sum(p, -1, keepdims=True)         # (H, N, 1)
+        return p, r
+
+    def out_of(b, qkv, p, r):
+        v = qkv[2]
         o = jax.lax.dot_general(
             v, p.astype(v.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (H, Dh, N)
         o = o * r.reshape(heads, 1, N)
-        o = o.reshape(D, N).astype(xb.dtype)
+        o = o.reshape(D, N).astype(x_ref.dtype)
         y = jax.lax.dot_general(
-            o, wproj_ref[...], (((0,), (0,)), ((), ())),
+            o, wp, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (N, D)
-        o_ref[b] = xb + (y + bproj_ref[...]).astype(xb.dtype)
+        o_ref[b] = x_ref[b] + (y + bproj_ref[...]).astype(x_ref.dtype)
+
+    qkvs = [qkv_of(b) for b in range(cb)]
+    ss = [scores_of(qkvs[b]) for b in range(cb)]
+    pr = [None] * cb
+    pr[0] = softmax_of(ss[0])
+    for b in range(cb):
+        if b + 1 < cb:
+            pr[b + 1] = softmax_of(ss[b + 1])
+        out_of(b, qkvs[b], *pr[b])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -74,10 +97,13 @@ def fused_attention_block(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("heads", "scale", "interpret"))
-def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
+                   static_argnames=("heads", "scale", "interpret", "cb"))
+def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret,
+          cb: int | None = None):
     B, N, D = x.shape
-    CB = next(c for c in (2, 1) if B % c == 0)
+    # CB=4 measured best for the staged forward at ViT-S dims (the fp32
+    # score buffers of all CB images coexist in VMEM: 4 x 2.4 MB + weights)
+    CB = cb if cb else next(c for c in (4, 2, 1) if B % c == 0)
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)

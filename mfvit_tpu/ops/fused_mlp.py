@@ -46,21 +46,41 @@ def _gelu_exactish(h: jnp.ndarray) -> jnp.ndarray:
     return h * 0.5 * (1.0 + _erf_poly(h * 0.7071067811865476))
 
 
+def _pick_cb(B: int, N: int, D: int, Hd: int) -> int:
+    """Images per grid step for the 3D forward kernel, sized to VMEM:
+    bf16 weights + double-buffered in/out tiles + one image's fp32
+    LN/hidden scratch. ViT-S lands on 8, vit_base on 1."""
+    weights = 2 * D * Hd * 2
+    scratch = N * (Hd + 2 * D) * 4
+    for cb in (8, 4, 2, 1):
+        tiles = 2 * cb * N * D * 2 * 2
+        if B % cb == 0 and weights + scratch + tiles < 13 * 1024 * 1024:
+            return cb
+    return 1
+
+
 def _mlp_kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref):
-    x = x_ref[...]
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, -1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
-    h = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s_ref[...]
-         + ln_b_ref[...]).astype(x.dtype)
-    h = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = _gelu_exactish(h + b1_ref[...]).astype(x.dtype)
-    y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    y = y + b2_ref[...]
-    o_ref[...] = x + y.astype(x.dtype)
+    """Per-image loop over (N, D) rows. A flat (CB*N, D) formulation needs
+    XLA-level reshapes around the kernel that physically re-tile the 77 MB
+    activation per block (N=197 rows are not 8-sublane aligned) — measured
+    ~0.25 ms/block; the 3D layout keeps the block-to-block chain
+    reshape-free (docs/PERF.md round-2 notes)."""
+    cb, N, D = x_ref.shape
+    for b in range(cb):
+        x = x_ref[b]
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s_ref[...]
+             + ln_b_ref[...]).astype(x.dtype)
+        h = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = _gelu_exactish(h + b1_ref[...]).astype(x.dtype)
+        y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y + b2_ref[...]
+        o_ref[b] = x + y.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -69,26 +89,23 @@ def fused_mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool = False):
     return _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "cb"))
+def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool,
+                    cb: int | None = None):
     B, N, D = x.shape
     Hd = w1.shape[1]
-    TM = _tile_m(D, Hd)
-    M = B * N
-    Mp = ((M + TM - 1) // TM) * TM
-    xp = x.reshape(M, D)
-    if Mp != M:
-        xp = jnp.pad(xp, ((0, Mp - M), (0, 0)))
+    CB = cb if cb else _pick_cb(B, N, D, Hd)
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)
 
     const = lambda i: (0, 0)  # noqa: E731 — weights resident across steps
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _mlp_kernel,
-        grid=(Mp // TM,),
+        grid=(B // CB,),
         in_specs=[
-            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
@@ -96,18 +113,17 @@ def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
             pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, D), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((CB, N, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * D * Hd * 2,
-            bytes_accessed=2 * Mp * D * x.dtype.itemsize + D * Hd * 4,
-            transcendentals=Mp * Hd,
+            flops=2 * B * N * D * Hd * 2,
+            bytes_accessed=2 * B * N * D * x.dtype.itemsize + D * Hd * 4,
+            transcendentals=B * N * Hd,
         ),
         interpret=interpret,
-    )(xp, vec(ln_s), vec(ln_b), w1.astype(x.dtype), vec(b1),
+    )(x, vec(ln_s), vec(ln_b), w1.astype(x.dtype), vec(b1),
       w2.astype(x.dtype), vec(b2))
-    return out[:M].reshape(B, N, D)
 
 
 def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
