@@ -21,8 +21,10 @@ from mfvit_tpu.nn import vit as vit_mod
 
 
 def add_common_args(p: argparse.ArgumentParser) -> None:
+    from mfvit_tpu.nn import resnet as resnet_mod
     p.add_argument("-a", "--arch", default="vit_small",
-                   choices=sorted(vit_mod.CONFIGS) + ["vit_test"])
+                   choices=sorted(vit_mod.CONFIGS)
+                   + sorted(resnet_mod.CONFIGS) + ["vit_test"])
     p.add_argument("-j", "--workers", default=8, type=int)
     p.add_argument("--epochs", default=100, type=int)
     p.add_argument("--start-epoch", default=0, type=int)
@@ -69,12 +71,23 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="full host-side torchvision-parity augmentation")
     p.add_argument("--mesh-devices", type=int, default=None,
                    help="#devices in the data mesh (default: all)")
+    p.add_argument("--in-chans", dest="in_chans", type=int, default=3,
+                   choices=[3, 4],
+                   help="4 = stacked CXR-gray + Enh input "
+                        "(builder_4ch.py:36-41 variant)")
 
 
-def get_arch(args) -> vit_mod.ViTConfig:
+def get_arch(args):
+    """Backbone config for -a: a ViTConfig, or a ResNetConfig for the
+    torchvision-resnet MoCo arms the reference pretrain main accepts
+    (pretrain main :52-62)."""
     if args.arch == "vit_test":  # tiny config for smoke tests
         return vit_mod.ViTConfig("vit_test", img_size=args.img_size,
                                  patch=16, dim=32, depth=2, heads=2)
+    if args.arch.startswith("resnet"):
+        from mfvit_tpu.nn import resnet as resnet_mod
+        return resnet_mod.get_config(args.arch,
+                                     in_chans=getattr(args, "in_chans", 3))
     return vit_mod.get_config(args.arch, args.img_size)
 
 
@@ -103,13 +116,16 @@ def make_ssl_two_crops_loader(args, manifest_path: str, folder: str, *,
 
 def make_covid_loader(args, manifest_path: str, folder: str, *,
                       training: bool, paired: bool = False,
+                      fourch: bool = False,
                       batch_size: Optional[int] = None,
                       seed: int = 0) -> pipeline.BatchLoader:
     """Build a loader over a COVID manifest.
 
     Device-aug mode ('the TPU path'): datasets yield uint8 canvases; the
     caller applies device_aug.augment_batch inside its step. Host mode:
-    full per-sample torchvision-parity transform on the host."""
+    full per-sample torchvision-parity transform on the host.
+    ``fourch``: stacked CXR-gray + Enh 4-channel canvases
+    (Dataset_covid_4ch, loader.py:182)."""
     bs = batch_size or args.batch_size
     if args.aug_device:
         def tf(seed_off):
@@ -117,11 +133,19 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
                                       training=training,
                                       maintain_ratio=args.maintain_ratio,
                                       seed=seed + seed_off)
-        if paired:
+        if fourch:
+            ds = datasets.Covid4chDataset(manifest_path, tf(0),
+                                          folder_cxr=folder)
+        elif paired:
             ds = datasets.CovidPairedDataset(manifest_path, tf(0), tf(1))
         else:
             ds = datasets.CovidDataset(folder, manifest_path, tf(0))
     else:
+        if fourch:
+            raise ValueError("--in-chans 4 requires the device-aug path "
+                             "(the reference has no host transform stack "
+                             "for the 4ch variant either — no main invokes "
+                             "builder_4ch)")
         def tf2(img_type, seed_off):
             return ht.ChexpertTransform(
                 img_size=args.img_size, crop=args.crop, img_type=img_type,
@@ -158,6 +182,15 @@ def setup_mesh(args):
     if n > 1:
         pmesh.assert_divisible(args.batch_size, mesh)
     return mesh, n
+
+
+def batch_sharding(mesh, n_dev: int):
+    """Sharding for device_prefetch: batch split over 'data' when the mesh
+    is real, else None (single device — plain device_put)."""
+    if n_dev <= 1:
+        return None
+    from mfvit_tpu.parallel import mesh as pmesh
+    return pmesh.batch_sharded(mesh)
 
 
 def maybe_shard(x, mesh, n_dev: int):

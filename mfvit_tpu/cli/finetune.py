@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.data import device_aug, manifest as mf, pipeline
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.nn import vit as vit_mod
@@ -129,22 +129,26 @@ def train_one_draw_fn(args, cfg):
         n_val = len(vl.ds)
         n_test = len(sl.ds)
 
+        # double-buffered device feed: batches are device_put one step
+        # ahead so H2D overlaps the train step (the reference's pin_memory
+        # + prefetch workers equivalent, pretrain main :425-442)
+        shard = common.batch_sharding(mesh, n_dev)
+
         for epoch in range(args.start_epoch, args.epochs):
             ep_loss = metrics.AverageMeter("loss", ":.4f")
-            for i, (canv, labels) in enumerate(tl):
+            for i, (canv, labels) in enumerate(
+                    pipeline.device_prefetch(iter(tl), sharding=shard)):
                 k_aug, k_b = jax.random.split(k_aug)
                 if args.aug_device:
                     x = device_aug.augment_batch(
-                        k_b, jnp.asarray(canv), img_type=args.folder,
+                        k_b, canv, img_type=args.folder,
                         training=True, rotate_deg=float(args.rotate),
                         out_dtype=common.compute_dtype(args))
                 else:
-                    x = jnp.asarray(canv, common.compute_dtype(args))
-                x = common.maybe_shard(x, mesh, n_dev)
-                y = common.maybe_shard(jnp.asarray(labels), mesh, n_dev)
+                    x = canv.astype(common.compute_dtype(args))
                 params, opt_state, loss, _ = train_step(
-                    params, opt_state, x, y)
-                ep_loss.update(float(loss), len(labels))
+                    params, opt_state, x, labels)
+                ep_loss.update(float(loss), int(labels.shape[0]))
             val_auc, val_acc, val_loss, _, _ = evaluate(
                 eval_step, params, vl, args, n_total=n_val)
             if writer is not None:
@@ -159,11 +163,21 @@ def train_one_draw_fn(args, cfg):
             if best.update(val_auc, params):
                 t_auc, t_acc, _, _, _ = evaluate(eval_step, params, sl, args,
                                                  n_total=n_test)
-                result.test_auc, result.test_acc = t_auc, t_acc
+                result.test_auc = t_auc
+                result.extra["test_acc_at_best_auc"] = t_acc
                 if writer is not None:
+                    writer.add_scalar("test/all_test_auc", t_auc, epoch)
                     writer.add_scalar("test/auc", t_auc, epoch)
-                    writer.add_scalar("test/acc", t_acc, epoch)
-            best_acc.update(val_acc, params, save_last=False)
+            # acc-twin protocol: test ALSO on val-ACC improvement; the
+            # all_test_acc matrix comes from THIS branch (finetune
+            # :581-601) — result.test_acc is the acc-branch test acc
+            if best_acc.update(val_acc, params, save_last=False):
+                a_auc, a_acc, _, _, _ = evaluate(eval_step, params, sl, args,
+                                                 n_total=n_test)
+                result.test_acc = a_acc
+                result.extra["test_auc_at_best_acc"] = a_auc
+                if writer is not None:
+                    writer.add_scalar("test/all_test_acc", a_acc, epoch)
 
         # sanity check: frozen backbone identical to the loaded checkpoint
         # (finetune :841-866)

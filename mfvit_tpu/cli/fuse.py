@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.data import device_aug, manifest as mf, pipeline
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.models import fusion as fusion_mod
@@ -100,6 +100,7 @@ def train_one_draw_fn(args, cfg):
                 params[branch] = loaded
 
         mask = None
+        frozen_snapshot = None
         if not args.semi_supervised:
             # ViT bodies frozen, branch heads + fusion trainable
             # (fusion main :297-313)
@@ -107,6 +108,10 @@ def train_one_draw_fn(args, cfg):
                 "cxr": optim.head_only_mask(params["cxr"]),
                 "enh": optim.head_only_mask(params["enh"]),
                 "fus": jax.tree.map(lambda _: True, params["fus"]),
+            }
+            frozen_snapshot = {
+                b: jax.tree.map(np.asarray, params[b])
+                for b in ("cxr", "enh")
             }
 
         train_man = (mf.split_manifest_path(args.covid_ds, ratio, draw)
@@ -143,26 +148,27 @@ def train_one_draw_fn(args, cfg):
         dt = common.compute_dtype(args)
         n_val, n_test = len(vl.ds), len(sl.ds)
 
+        # double-buffered device feed (pretrain main :425-442 equivalent)
+        shard = common.batch_sharding(mesh, n_dev)
+
         for epoch in range(args.start_epoch, args.epochs):
             ep_loss = metrics.AverageMeter("loss", ":.4f")
-            for cxr, enh, labels in tl:
+            for cxr, enh, labels in pipeline.device_prefetch(
+                    iter(tl), sharding=shard):
                 k_aug, ka, kb = jax.random.split(k_aug, 3)
                 if args.aug_device:
                     xc = device_aug.augment_batch(
-                        ka, jnp.asarray(cxr), img_type="data", training=True,
+                        ka, cxr, img_type="data", training=True,
                         rotate_deg=float(args.rotate), out_dtype=dt)
                     xe = device_aug.augment_batch(
-                        kb, jnp.asarray(enh), img_type="Train_Mix",
+                        kb, enh, img_type="Train_Mix",
                         training=True, rotate_deg=float(args.rotate),
                         out_dtype=dt)
                 else:
-                    xc, xe = jnp.asarray(cxr, dt), jnp.asarray(enh, dt)
-                xc = common.maybe_shard(xc, mesh, n_dev)
-                xe = common.maybe_shard(xe, mesh, n_dev)
-                y = common.maybe_shard(jnp.asarray(labels), mesh, n_dev)
+                    xc, xe = cxr.astype(dt), enh.astype(dt)
                 params, opt_state, loss, _ = train_step(
-                    params, opt_state, xc, xe, y)
-                ep_loss.update(float(loss), len(labels))
+                    params, opt_state, xc, xe, labels)
+                ep_loss.update(float(loss), int(labels.shape[0]))
             val_auc, val_acc = evaluate(eval_step, params, vl, args,
                                         n_total=n_val)
             if writer is not None:
@@ -176,6 +182,22 @@ def train_one_draw_fn(args, cfg):
                 t_auc, t_acc = evaluate(eval_step, params, sl, args,
                                         n_total=n_test)
                 result.test_auc, result.test_acc = t_auc, t_acc
+
+        # sanity check: the frozen ViT bodies must be bit-identical to the
+        # loaded branch checkpoints after LP-style training (fusion main
+        # :1013-1040)
+        if frozen_snapshot is not None:
+            for b in ("cxr", "enh"):
+                flat_now = {str(k): v for k, v in
+                            jax.tree_util.tree_leaves_with_path(params[b])}
+                for k_, v in {str(k): v for k, v in
+                              jax.tree_util.tree_leaves_with_path(
+                                  frozen_snapshot[b])}.items():
+                    if "head" in k_:
+                        continue
+                    assert np.array_equal(np.asarray(flat_now[k_]), v), \
+                        f"fusion sanity check failed at {b}{k_}"
+            print("=> fusion sanity check passed.")
         return result
 
     return train_one_draw

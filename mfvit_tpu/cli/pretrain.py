@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.data import device_aug, manifest as mf, pipeline
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.parallel import mesh as pmesh
@@ -62,11 +62,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def train_one_draw_fn(args, vit_cfg):
     def train_one_draw(ratio, draw, sub_folder, writer):
-        cfg = moco.MoCoConfig(
+        kw = dict(
             dim=args.moco_dim, mlp_dim=args.moco_mlp_dim, K=args.moco_k,
             T=args.moco_t, m=args.moco_m, loss=args.loss,
-            predictor_on_keys=args.predictor_on_keys,
-            stop_grad_conv1=args.stop_grad_conv1)
+            predictor_on_keys=args.predictor_on_keys)
+        if args.arch.startswith("resnet"):
+            # MoCo_ResNet tower structure (builder...mocov2loss.py:202-225);
+            # the reference pretrain main routes resnet archs through
+            # torchvision models (pretrain main :52-62)
+            cfg = moco.MoCoConfig.resnet(**kw)
+        else:
+            cfg = moco.MoCoConfig(stop_grad_conv1=args.stop_grad_conv1,
+                                  **kw)
 
         # pretraining uses the UNLABELED split at fractional ratios
         # (pretrain main :377-380)
@@ -76,12 +83,17 @@ def train_one_draw_fn(args, vit_cfg):
             man = mf.split_manifest_path(args.covid_ds, ratio, draw,
                                          labeled=False)
         byol = args.aug_setting in ("moco_v1", "moco_v2", "aug1", "aug2")
+        fourch = args.in_chans == 4
         if byol:
+            if fourch:
+                raise ValueError("--in-chans 4 requires --aug-setting "
+                                 "chexpert (device-aug canvases)")
             tl = common.make_ssl_two_crops_loader(args, man, args.folder,
                                                   seed=draw)
         else:
             tl = common.make_covid_loader(args, man, args.folder,
-                                          training=True, seed=draw)
+                                          training=True, fourch=fourch,
+                                          seed=draw)
         steps_per_epoch = max(len(tl), 1)
 
         mesh = pmesh.make_mesh(args.mesh_devices)
@@ -105,7 +117,7 @@ def train_one_draw_fn(args, vit_cfg):
                                    momentum=args.momentum)
 
         key = jax.random.fold_in(common.jax_key(args), draw)
-        state = moco.init(key, cfg, vit_cfg)
+        state = moco.init(key, cfg, vit_cfg, in_chans=args.in_chans)
         opt_state = tx.init({"base": state["base"],
                              "predictor": state["predictor"]})
         if n_dev > 1:
@@ -134,27 +146,25 @@ def train_one_draw_fn(args, vit_cfg):
         k_aug = jax.random.fold_in(key, 1)
         result = harness.DrawResult(ratio, draw)
         ep_loss = metrics.AverageMeter("loss", ":.4f")  # survives empty loop
+        # double-buffered device feed: H2D overlaps the MoCo step (the
+        # reference's pin_memory + prefetch workers, pretrain main :425-442)
+        shard = common.batch_sharding(mesh, n_dev)
         for epoch in range(start_epoch, args.epochs):
             ep_loss = metrics.AverageMeter("loss", ":.4f")
-            for i, batch in enumerate(tl):
+            for i, batch in enumerate(
+                    pipeline.device_prefetch(iter(tl), sharding=shard)):
                 it_epoch = epoch + i / steps_per_epoch
                 m = (float(optim.moco_momentum(it_epoch, args.moco_m,
                                                args.epochs))
                      if args.moco_m_cos else args.moco_m)
                 k_aug, k_b = jax.random.split(k_aug)
                 if byol:
-                    q, k_img, _labels = (jnp.asarray(
-                        b, common.compute_dtype(args)) for b in batch)
-                    if n_dev > 1:
-                        q = pmesh.shard_batch(q, mesh)
-                        k_img = pmesh.shard_batch(k_img, mesh)
+                    q, k_img, _labels = (
+                        b.astype(common.compute_dtype(args)) for b in batch)
                 else:
                     canv, _labels = batch
-                    canv = jnp.asarray(canv)
-                    if n_dev > 1:
-                        canv = pmesh.shard_batch(canv, mesh)
                     q, k_img = device_aug.augment_two_views(
-                        k_b, canv, img_type=args.folder,
+                        k_b, canv, img_type="4ch" if fourch else args.folder,
                         rotate_deg=float(args.rotate),
                         out_dtype=common.compute_dtype(args))
                 state, opt_state, loss = step(state, opt_state, q, k_img,

@@ -147,7 +147,11 @@ def _backbone_init(key, backbone_cfg, in_chans: int = 3):
     if isinstance(backbone_cfg, vit_mod.ViTConfig):
         return vit_mod.init(key, backbone_cfg, num_classes=0,
                             in_chans=in_chans)
+    import dataclasses as _dc
+
     from mfvit_tpu.nn import resnet as resnet_mod
+    if backbone_cfg.in_chans != in_chans:
+        backbone_cfg = _dc.replace(backbone_cfg, in_chans=in_chans)
     return resnet_mod.init(key, backbone_cfg, num_classes=0)
 
 

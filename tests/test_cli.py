@@ -83,6 +83,39 @@ def test_pretrain_cli_v3_loss_unlabeled_split(covid_root):
     assert np.isfinite(results[0].extra["final_loss"])
 
 
+def test_pretrain_cli_resnet18(covid_root):
+    """ResNet MoCo arm (the reference pretrain main accepts torchvision
+    resnet archs — pretrain main :52-62)."""
+    from mfvit_tpu.cli import pretrain
+    out = covid_root / "exp_pre_r18"
+    results = pretrain.main([
+        "-a", "resnet18", "--img-size", "32", "--crop", "32",
+        "--maintain-ratio", "--compute-dtype", "float32",
+        "-j", "2", "--seed", "0",
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "smoker18",
+        "-b", "8", "--epochs", "1", "--warmup-epochs", "0", "--cos",
+        "--lr", "1e-3", "--optimizer", "sgd",
+        "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "32",
+        "--semi-ratios", "1"])
+    assert np.isfinite(results[0].extra["final_loss"])
+
+
+def test_pretrain_cli_4ch(covid_root):
+    """Stacked CXR-gray + Enh 4-channel input (builder_4ch.py:36-41)."""
+    from mfvit_tpu.cli import pretrain
+    out = covid_root / "exp_pre_4ch"
+    results = pretrain.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "smoke4ch",
+        "--in-chans", "4",
+        "-b", "8", "--epochs", "1", "--warmup-epochs", "0", "--cos",
+        "--lr", "1e-3", "--optimizer", "adamw", "--wd", "0.1",
+        "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "32",
+        "--semi-ratios", "1"])
+    assert np.isfinite(results[0].extra["final_loss"])
+
+
 def test_finetune_cli_lp_and_ft(covid_root):
     from mfvit_tpu.cli import finetune
     out = covid_root / "exp_lp"
@@ -94,8 +127,13 @@ def test_finetune_cli_lp_and_ft(covid_root):
     assert len(results) == 1
     assert 0.0 <= results[0].test_acc <= 1.0
     assert np.isfinite(results[0].test_auc)
+    # acc-twin protocol (finetune :581-601): test ran on val-ACC
+    # improvement and its twin metrics are recorded
+    assert np.isfinite(results[0].extra["test_auc_at_best_acc"])
+    assert np.isfinite(results[0].extra["test_acc_at_best_auc"])
     exp = next(out.iterdir())
     assert (exp / "train_1_0" / "model_best").exists()
+    assert (exp / "train_1_0_acc" / "model_best").exists()
     assert (exp / "results.json").exists()
 
     # FT (semi-supervised) on the fractional split
@@ -139,6 +177,7 @@ def test_infer_cli(covid_root):
         "--report-throughput"])
     assert res["n"] == 4
     assert "metrics" in res and np.isfinite(res["metrics"]["auc"])
+    assert res["pairs_per_sec"] > 0 and res["pairs_per_sec_e2e"] > 0
     assert out.exists()
 
 

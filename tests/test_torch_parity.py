@@ -324,3 +324,128 @@ def test_fuse_branch_torch_checkpoint_loading(tmp_path):
     params2 = fuse_cli.load_branch(str(path2), TINY, ratio=1, draw=0)
     np.testing.assert_array_equal(np.asarray(params2["cls"]),
                                   np.asarray(params["cls"]))
+
+
+# ------------------------------- one-step optimizer/gradient parity -----
+# BASELINE's "Top-1 within 0.2%" rides on the training dynamics, not just
+# the forward: one full train step (CE loss + optimizer) must move every
+# parameter exactly as torch does (finetune :716-718, moco/optimizer.py).
+
+def _vit_step_inputs():
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    labels = np.array([0, 1, 2, 1])
+    return imgs, labels
+
+
+def _assert_params_close(ours, ref, rtol=1e-4, atol=1e-6):
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ours),
+            jax.tree_util.tree_leaves_with_path(ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+            err_msg=f"param {jax.tree_util.keystr(pa)}")
+
+
+def test_sgd_train_step_matches_torch():
+    """Two SGD(momentum+wd) steps on the TINY ViT classifier: per-leaf
+    updated parameters match torch (finetune :716-718 optimizer setup)."""
+    from mfvit_tpu.train import optim, steps
+
+    torch.manual_seed(1)
+    tm = TorchViT(TINY)
+    # deep-copy: on CPU jnp.asarray may alias the torch storage, which
+    # opt.step() then mutates in place
+    params = jax.tree.map(
+        jnp.copy, ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY))
+    imgs, labels = _vit_step_inputs()
+    lr, wd, mom = 0.1, 1e-4, 0.9
+
+    opt = torch.optim.SGD(tm.parameters(), lr=lr, momentum=mom,
+                          weight_decay=wd)
+    ce = nn.CrossEntropyLoss()
+    for _ in range(2):
+        opt.zero_grad()
+        out = tm(torch.tensor(imgs).permute(0, 3, 1, 2))
+        ce(out, torch.tensor(labels)).backward()
+        opt.step()
+    ref_params = ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY)
+
+    tx = optim.build_optimizer("sgd", lr, weight_decay=wd, momentum=mom)
+    train_step, _ = steps.make_classifier_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla")
+    opt_state = tx.init(params)
+    xj, yj = jnp.asarray(imgs), jnp.asarray(labels)
+    for _ in range(2):
+        params, opt_state, loss, _ = train_step(params, opt_state, xj, yj)
+
+    _assert_params_close(params, ref_params)
+
+
+def test_lars_step_matches_reference_optimizer():
+    """Two LARS steps on the TINY ViT vs the REFERENCE LARS imported from
+    /root/reference (moco/optimizer.py:10-43), identical weights/batch."""
+    from mfvit_tpu.train import optim, steps
+
+    sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+    from moco.optimizer import LARS as RefLARS
+
+    torch.manual_seed(2)
+    tm = TorchViT(TINY)
+    params = jax.tree.map(
+        jnp.copy, ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY))
+    imgs, labels = _vit_step_inputs()
+    lr, wd = 0.05, 1e-4
+
+    opt = RefLARS(tm.parameters(), lr=lr, weight_decay=wd, momentum=0.9)
+    ce = nn.CrossEntropyLoss()
+    for _ in range(2):
+        opt.zero_grad()
+        out = tm(torch.tensor(imgs).permute(0, 3, 1, 2))
+        ce(out, torch.tensor(labels)).backward()
+        opt.step()
+    ref_params = ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY)
+
+    tx = optim.build_optimizer("lars", lr, weight_decay=wd, momentum=0.9)
+    train_step, _ = steps.make_classifier_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla")
+    opt_state = tx.init(params)
+    xj, yj = jnp.asarray(imgs), jnp.asarray(labels)
+    for _ in range(2):
+        params, opt_state, loss, _ = train_step(params, opt_state, xj, yj)
+
+    _assert_params_close(params, ref_params)
+
+
+def test_fusion_head_gradients_match_reference():
+    """Gradients of the fused logits w.r.t. every fusion-head parameter
+    match the reference Fus_CrossViT's autograd (fusion model :50-155)."""
+    mod = _import_reference_fusion()
+    rng = np.random.default_rng(4)
+    B, N, dim = 2, 17, 384
+    tok_cxr = rng.normal(size=(B, N, dim)).astype(np.float32)
+    tok_enh = rng.normal(size=(B, N, dim)).astype(np.float32)
+    logit = rng.normal(size=(B, 3)).astype(np.float32)
+
+    ref_model = mod.Fus_CrossViT(
+        _FakeViT(tok_cxr, logit), _FakeViT(tok_enh, logit)).train()
+    dummy = torch.zeros(B, 3, 224, 224)
+    fused, _, _ = ref_model(ref_model.vit_features_cxr.__self__,
+                            ref_model.vit_features_enh.__self__,
+                            dummy, dummy)
+    (fused ** 2).sum().backward()
+    grad_sd = {k: p.grad.detach().numpy()
+               for k, p in ref_model.named_parameters()
+               if p.grad is not None}
+    ref_grads = ckpt.torch_fusion_to_params(grad_sd)
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    fparams = ckpt.torch_fusion_to_params(sd)
+
+    def loss(fp):
+        out = fusion.apply(fp, jnp.asarray(tok_cxr), jnp.asarray(tok_enh),
+                           heads=3)
+        return jnp.sum(out ** 2)
+
+    ours = jax.grad(loss)(fparams)
+    _assert_params_close(ours, ref_grads, rtol=2e-4, atol=2e-5)

@@ -1,0 +1,91 @@
+"""Training-loop throughput with REAL decode in the loop.
+
+Measures the finetune hot path exactly as cli/finetune.py runs it —
+BatchLoader workers decoding PNGs -> device_prefetch (double-buffered
+device_put) -> device-fused augmentation -> jitted train step — and the
+same loop with the prefetch disabled (synchronous jnp.asarray per step,
+the round-1 behavior), on the real chip.
+
+Run: ./tools_tpurun.sh tools/bench_train_loop.py
+"""
+import os
+import sys
+import tempfile
+import time
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfvit_tpu.data import datasets, device_aug, host_transforms as ht
+from mfvit_tpu.data import manifest as mf, pipeline
+from mfvit_tpu.nn import vit
+from mfvit_tpu.train import optim, steps
+
+B = 256
+N_IMGS = 512
+STEPS = 12
+
+root = tempfile.mkdtemp(prefix="bench_train_")
+os.makedirs(f"{root}/images/data", exist_ok=True)
+rng = np.random.default_rng(0)
+names, labels = [], []
+for i in range(N_IMGS):
+    fn = f"img_{i}.png"
+    img = rng.integers(0, 255, (240, 260, 3), np.uint8)
+    cv2.imwrite(f"{root}/images/data/{fn}", img)
+    names.append(fn)
+    labels.append(i % 3)
+mf.write_covid_manifest(f"{root}/man.txt", f"{root}/images", names, labels)
+
+tf = ht.CanvasTransform(img_size=224, training=True, maintain_ratio=True,
+                        seed=0)
+ds = datasets.CovidDataset("data", f"{root}/man.txt", tf)
+loader = pipeline.BatchLoader(ds, B, shuffle=True, seed=0, drop_last=True,
+                              num_workers=8)
+
+cfg = vit.get_config("vit_small")
+params = vit.init(jax.random.PRNGKey(0), cfg, num_classes=3)
+tx = optim.build_optimizer("sgd", 0.01)
+train_step, _ = steps.make_classifier_steps(cfg, tx,
+                                            compute_dtype=jnp.bfloat16)
+opt_state = tx.init(params)
+key = jax.random.PRNGKey(1)
+
+
+def run(prefetch: bool):
+    global params, opt_state, key
+    n = 0
+    t0 = None
+    done = 0
+    while done < STEPS:
+        it = pipeline.device_prefetch(iter(loader)) if prefetch \
+            else iter(loader)
+        for canv, lab in it:
+            if not prefetch:
+                canv, lab = jnp.asarray(canv), jnp.asarray(lab)
+            key, kb = jax.random.split(key)
+            x = device_aug.augment_batch(kb, canv, img_type="data",
+                                         training=True, rotate_deg=10.0,
+                                         out_dtype=jnp.bfloat16)
+            p, o, loss, _ = train_step(params, opt_state, x, lab)
+            params, opt_state = p, o
+            done += 1
+            if done == 2:       # warmup: compile + cache fill
+                t0 = time.perf_counter()
+                n = 0
+            n += B
+            if done >= STEPS:
+                break
+    loss.block_until_ready()
+    np.asarray(loss)
+    return n / (time.perf_counter() - t0)
+
+
+v_pre = run(True)
+print(f"train loop WITH device_prefetch: {v_pre:.0f} img/s")
+v_sync = run(False)
+print(f"train loop synchronous H2D:      {v_sync:.0f} img/s")
+print(f"speedup: {v_pre / v_sync:.3f}x")
