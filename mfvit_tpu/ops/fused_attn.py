@@ -101,9 +101,23 @@ def fused_attention_block(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
 def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret,
           cb: int | None = None):
     B, N, D = x.shape
-    # CB=4 measured best for the staged forward at ViT-S dims (the fp32
-    # score buffers of all CB images coexist in VMEM: 4 x 2.4 MB + weights)
-    CB = cb if cb else next(c for c in (4, 2, 1) if B % c == 0)
+    # CB=4 measured best for the staged forward at ViT-S dims; the staged
+    # issue order keeps every image's fp32 score buffer + bf16 qkv alive
+    # at once, so CB shrinks with model width (vit_base OOMs at CB=4)
+    if cb:
+        CB = cb
+    else:
+        Np = -(-N // 128) * 128  # lane-padded
+        weights = (3 * D * D + D * D) * 2
+        per_img = (heads * N * Np * 4     # fp32 scores
+                   + 3 * D * Np * 2       # bf16 qkv_t
+                   + 4 * N * D * 2)       # in/out tiles (double-buffered)
+        # budget calibrated on-chip: ViT-S CB=4 (est 15.6 MB) compiles,
+        # vit_base CB=4 (est 23.9 MB) OOMs at 19.6 MB actual — Mosaic's
+        # liveness reuse makes the estimate conservative by ~20%
+        CB = next(c for c in (4, 2, 1)
+                  if B % c == 0
+                  and weights + c * per_img < 16.5 * 1024 * 1024)
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)
@@ -285,6 +299,173 @@ def _fused_attn_bwd_impl(g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads, scale,
     return dx, dwqkv, dbqkv[0], dwproj, dbproj[0], dscale[0], dbias[0]
 
 
+# ---------------- large-dim backward: dx kernel + XLA weight-grad GEMMs
+#
+# vit_base's fp32 dwqkv accumulator (768 x 2304 x 4B = 7 MB) plus weights
+# and per-image softmax scratch exceed VMEM, so for D > 512 the backward
+# splits: the Pallas kernel recomputes the attention internals in VMEM and
+# emits dx plus the three GEMM OPERANDS (h, dqkv_t, o) as bf16 side
+# outputs; the two big weight-grad contractions (dwqkv = h^T dqkv,
+# dwproj = o g) then run as plain XLA GEMMs over the whole batch — XLA
+# tiles those fine, it was the softmax recompute that made the pure-XLA
+# fallback slow.
+
+def _bwd_dx_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                   wproj_ref, dx_ref, h_ref, dqkv_ref, o_ref, ds_ref,
+                   db_ref, dbq_ref, dbp_ref, *, heads: int, scale: float,
+                   has_bias: bool, head_groups: int):
+    cb, N, D = x_ref.shape
+    Dh = D // heads
+    G = heads // head_groups  # heads per group
+    wq = wqkv_ref[...]
+    wp = wproj_ref[...]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    for b in range(cb):
+        xb = x_ref[b].astype(jnp.float32)
+        gb = g_ref[b].astype(jnp.float32)
+        mu = jnp.mean(xb, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xb - mu), -1, keepdims=True)
+        inv = jax.lax.rsqrt(var + 1e-6)
+        xhat = (xb - mu) * inv
+        h = (xhat * lns_ref[...] + lnb_ref[...]).astype(jnp.bfloat16)
+        h_ref[b] = h
+        gbf = gb.astype(jnp.bfloat16)
+        dbp_ref[...] += jnp.sum(gb, 0, keepdims=True)
+        do = jax.lax.dot_general(wp, gbf, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        doh = do.astype(jnp.bfloat16).reshape(heads, Dh, N)
+        # head-group loop: the qkv recompute happens per GROUP via column
+        # slices of wqkv, so neither the (3D, N) fp32 qkv buffer nor more
+        # than one group's fp32 (G, N, N) score/softmax buffers ever exist
+        # (vit_base OOMed with everything resident: 19.5 MB scoped > 16)
+        dh = None
+        for hg in range(head_groups):
+            W = G * Dh
+            sls = [slice(t * D + hg * W, t * D + (hg + 1) * W)
+                   for t in range(3)]
+
+            def part(t):
+                pt = jax.lax.dot_general(
+                    wq[:, sls[t]], h, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if has_bias:
+                    pt = pt + bqkv_ref[:, sls[t]].T
+                return pt.astype(jnp.bfloat16).reshape(G, Dh, N)
+
+            q, k, v = part(0), part(1), part(2)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale
+            mx = jnp.max(s, -1, keepdims=True)
+            e = jnp.exp(s - mx)
+            p = e / jnp.sum(e, -1, keepdims=True)
+            pb = p.astype(jnp.bfloat16)
+            o = jax.lax.dot_general(v, pb, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            o_ref[b, hg * W:(hg + 1) * W] = o.reshape(W, N).astype(
+                jnp.bfloat16)
+            dog = doh[hg * G:(hg + 1) * G]
+            dv = jax.lax.dot_general(dog, pb, (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(dog, v, (((1,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            dsm = p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+            dsb = dsm.astype(jnp.bfloat16)
+            dq = jax.lax.dot_general(k, dsb, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(q, dsb, (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            parts = ((dq * scale).reshape(W, N).astype(jnp.bfloat16),
+                     (dk * scale).reshape(W, N).astype(jnp.bfloat16),
+                     dv.reshape(W, N).astype(jnp.bfloat16))
+            for t in range(3):
+                dqkv_ref[b, sls[t]] = parts[t]
+                if has_bias:
+                    dbq_ref[:, sls[t]] += jnp.sum(
+                        parts[t].astype(jnp.float32), 1, keepdims=True).T
+                contrib = jax.lax.dot_general(
+                    parts[t], wq[:, sls[t]], (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh = contrib if dh is None else dh + contrib
+        ds_ref[...] += jnp.sum(dh * xhat, 0, keepdims=True)
+        db_ref[...] += jnp.sum(dh, 0, keepdims=True)
+        dxhat = dh * lns_ref[...]
+        dx_ln = inv * (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+                       - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+        dx_ref[b] = (gb + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
+                                             "has_bias"))
+def _fused_attn_bwd_bigdim(g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads,
+                           scale, interpret, has_bias=True):
+    B, N, D = x.shape
+    CB = 1
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    blk = lambda i: (i, 0, 0)  # noqa: E731
+    # smallest divisor-of-heads group count whose ~4 fp32 (G, N, N)
+    # group buffers stay under ~6 MB
+    Np = -(-N // 128) * 128
+    hg = next(k for k in range(1, heads + 1)
+              if heads % k == 0
+              and 4 * (heads // k) * N * Np * 4 < 4 * 1024 * 1024)
+    kern = functools.partial(_bwd_dx_kernel, heads=heads, scale=scale,
+                             has_bias=has_bias, head_groups=hg)
+    outs = pl.pallas_call(
+        kern,
+        grid=(B // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 3 * D, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, D, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((B, N, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, 3 * D, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, D, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, x, vec(ln_s), vec(ln_b), wqkv.astype(jnp.bfloat16), vec(bqkv),
+      wproj.astype(jnp.bfloat16))
+    dx, h, dqkv_t, o, dscale, dbias, dbqkv, dbproj = outs
+    # the two big weight-grad contractions as XLA GEMMs (fp32 accumulate)
+    dwqkv = jnp.einsum("bnd,bkn->dk", h, dqkv_t,
+                       preferred_element_type=jnp.float32)
+    dwproj = jnp.einsum("bdn,bne->de", o, g.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    return (dx, dwqkv, dbqkv[0], dwproj, dbproj[0], dscale[0], dbias[0])
+
+
 def _fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret):
     out = _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale,
                 interpret)
@@ -295,10 +476,17 @@ def _bwd(heads, scale, interpret, res, g):
     x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
     D = x.shape[-1]
     if D > 512:
-        # fp32 weight-grad accumulators don't fit VMEM beyond ViT-S dims
-        return _bwd_xla_reference(heads, scale, interpret, res, g)
-    dx, dwqkv, dbqkv, dwproj, dbproj, dscale, dbias = _fused_attn_bwd_impl(
-        g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads, scale, interpret)
+        # fp32 weight-grad accumulators don't fit VMEM beyond ViT-S dims:
+        # dx kernel + XLA weight-grad GEMMs (vit_base trains through
+        # Pallas too — the old full-XLA fallback recomputed the slow
+        # XLA softmax/attention chain)
+        dx, dwqkv, dbqkv, dwproj, dbproj, dscale, dbias = \
+            _fused_attn_bwd_bigdim(g, x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                   heads, scale, interpret)
+    else:
+        dx, dwqkv, dbqkv, dwproj, dbproj, dscale, dbias = \
+            _fused_attn_bwd_impl(g, x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                 heads, scale, interpret)
     return (dx, dscale.astype(ln_s.dtype), dbias.astype(ln_b.dtype),
             dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
             dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype))

@@ -130,13 +130,130 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref):
     """Fused backward: recompute LN/hidden in VMEM, all five gradient
     GEMMs on-chip, weight/bias grads accumulated across the sequential
-    grid (outputs with constant index_map)."""
+    grid (outputs with constant index_map). (CB, N, D) blocks with a
+    per-image loop — the flat layout's XLA-level reshapes physically
+    re-tile the activation (see _mlp_kernel)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         dw1_ref[...] = jnp.zeros_like(dw1_ref)
         db1_ref[...] = jnp.zeros_like(db1_ref)
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    cb = x_ref.shape[0]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    for b in range(cb):
+        x = x_ref[b].astype(jnp.float32)
+        g = g_ref[b].astype(jnp.float32)
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+        inv = jax.lax.rsqrt(var + 1e-6)
+        xhat = (x - mu) * inv
+        h1 = (xhat * lns_ref[...] + lnb_ref[...]).astype(jnp.bfloat16)
+        a = jax.lax.dot_general(
+            h1, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[...]
+        erf = _erf_poly(a * 0.7071067811865476)
+        cdf = 0.5 * (1.0 + erf)
+        pdf = jnp.exp(-0.5 * a * a) * 0.3989422804014327
+        ga_pre = jax.lax.dot_general(g, w2, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        ga = (ga_pre * (cdf + a * pdf)).astype(jnp.bfloat16)
+        gelu_a = (a * cdf).astype(jnp.bfloat16)
+        gb = g.astype(jnp.bfloat16)
+        dw2_ref[...] += jax.lax.dot_general(
+            gelu_a, gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db2_ref[...] += jnp.sum(g, 0, keepdims=True)
+        dw1_ref[...] += jax.lax.dot_general(
+            h1, ga, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1_ref[...] += jnp.sum(ga.astype(jnp.float32), 0, keepdims=True)
+        dh1 = jax.lax.dot_general(ga, w1, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds_ref[...] += jnp.sum(dh1 * xhat, 0, keepdims=True)
+        db_ref[...] += jnp.sum(dh1, 0, keepdims=True)
+        dxhat = dh1 * lns_ref[...]
+        dx_ln = inv * (dxhat - jnp.mean(dxhat, -1, keepdims=True)
+                       - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+        dx_ref[b] = (g + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_mlp_bwd_impl(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
+    B, N, D = x.shape
+    Hd = w1.shape[1]
+    # the fp32 weight-grad accumulators share VMEM with everything else,
+    # so CB stays small (ViT-S: 2 x 384*1536*4 = 4.7 MB accumulators)
+    CB = next(c for c in (2, 1) if B % c == 0)
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    blk = lambda i: (i, 0, 0)  # noqa: E731
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(B // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CB, N, D), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((D, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((Hd, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * B * N * D * Hd,
+            bytes_accessed=3 * B * N * D * x.dtype.itemsize + 2 * D * Hd * 4,
+            transcendentals=2 * B * N * Hd,
+        ),
+        interpret=interpret,
+    )(g, x, vec(ln_s), vec(ln_b), w1.astype(jnp.bfloat16), vec(b1),
+      w2.astype(jnp.bfloat16))
+    dx, dw1, db1, dw2, db2, dscale, dbias = outs
+    return dx, dscale[0], dbias[0], dw1, db1[0], dw2, db2[0]
+
+
+# ------------------- large-dim backward: dx kernel + chunked dw kernel --
+#
+# vit_base's fp32 weight-grad accumulators (2 x 768 x 3072 x 4B = 19 MB)
+# cannot live in VMEM alongside the weights, so the single-kernel backward
+# above is gated to ViT-S dims. For larger dims the backward splits into:
+#  - a dx kernel: streams row tiles once, recomputes LN/hidden, produces
+#    dx and the (tiny) LN-param grads — needs both weights (bf16) but NO
+#    large accumulators;
+#  - a dw kernel with grid (Hd-chunk OUTER, row-tile INNER): each chunk's
+#    fp32 accumulators (D, HC)+(HC, D) are visited consecutively across
+#    the inner row sweep, so they stay VMEM-resident; LN recompute is
+#    repeated per chunk (cheap VPU), GEMM FLOPs stay split by chunk.
+
+def _bwd_dx_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                   dx_ref, ds_ref, db_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
         ds_ref[...] = jnp.zeros_like(ds_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
@@ -147,25 +264,15 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     inv = jax.lax.rsqrt(var + 1e-6)
     xhat = (x - mu) * inv
     h1 = (xhat * lns_ref[...] + lnb_ref[...]).astype(jnp.bfloat16)
-    w1 = w1_ref[...]
-    w2 = w2_ref[...]
-    a = jax.lax.dot_general(h1, w1, (((1,), (0,)), ((), ())),
+    a = jax.lax.dot_general(h1, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b1_ref[...]
     erf = _erf_poly(a * 0.7071067811865476)
     cdf = 0.5 * (1.0 + erf)
     pdf = jnp.exp(-0.5 * a * a) * 0.3989422804014327
-    ga_pre = jax.lax.dot_general(g, w2, (((1,), (1,)), ((), ())),
+    ga_pre = jax.lax.dot_general(g, w2_ref[...], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     ga = (ga_pre * (cdf + a * pdf)).astype(jnp.bfloat16)
-    gelu_a = (a * cdf).astype(jnp.bfloat16)
-    gb = g.astype(jnp.bfloat16)
-    dw2_ref[...] += jax.lax.dot_general(gelu_a, gb, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-    db2_ref[...] += jnp.sum(g, 0, keepdims=True)
-    dw1_ref[...] += jax.lax.dot_general(h1, ga, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-    db1_ref[...] += jnp.sum(ga.astype(jnp.float32), 0, keepdims=True)
-    dh1 = jax.lax.dot_general(ga, w1, (((1,), (1,)), ((), ())),
+    dh1 = jax.lax.dot_general(ga, w1_ref[...], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     ds_ref[...] += jnp.sum(dh1 * xhat, 0, keepdims=True)
     db_ref[...] += jnp.sum(dh1, 0, keepdims=True)
@@ -175,11 +282,54 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
 
 
+def _bwd_dw_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1c_ref, b1c_ref,
+                   w2c_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        # per-chunk accumulators: zeroed at each chunk's first row step
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        # db2 is chunk-independent (constant index): zero once, accumulate
+        # only during the first chunk's row sweep
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+    xhat = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+    h1 = (xhat * lns_ref[...] + lnb_ref[...]).astype(jnp.bfloat16)
+    a = jax.lax.dot_general(h1, w1c_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b1c_ref[...]
+    erf = _erf_poly(a * 0.7071067811865476)
+    cdf = 0.5 * (1.0 + erf)
+    pdf = jnp.exp(-0.5 * a * a) * 0.3989422804014327
+    ga_pre = jax.lax.dot_general(g, w2c_ref[...], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    ga = (ga_pre * (cdf + a * pdf)).astype(jnp.bfloat16)
+    gelu_a = (a * cdf).astype(jnp.bfloat16)
+    gb = g.astype(jnp.bfloat16)
+    dw1_ref[...] += jax.lax.dot_general(h1, ga, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(ga.astype(jnp.float32), 0, keepdims=True)
+    dw2_ref[...] += jax.lax.dot_general(gelu_a, gb, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        db2_ref[...] += jnp.sum(g, 0, keepdims=True)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_mlp_bwd_impl(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
+def _fused_mlp_bwd_bigdim(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
     B, N, D = x.shape
     Hd = w1.shape[1]
-    TM = min(_tile_m(D, Hd), 256)  # bwd holds 3 (TM, Hd) fp32 temps
+    TM = 256  # verified on-chip at vit_base dims (Mosaic liveness reuse
+    # keeps the (TM, Hd) fp32 temps + both bf16 weights inside VMEM)
     M = B * N
     Mp = ((M + TM - 1) // TM) * TM
     gp = g.reshape(M, D)
@@ -191,10 +341,12 @@ def _fused_mlp_bwd_impl(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)
 
+    w1b = w1.astype(jnp.bfloat16)
+    w2b = w2.astype(jnp.bfloat16)
     const = lambda i: (0, 0)  # noqa: E731
     row = lambda i: (i, 0)  # noqa: E731
-    outs = pl.pallas_call(
-        _bwd_kernel,
+    dx, dscale, dbias = pl.pallas_call(
+        _bwd_dx_kernel,
         grid=(Mp // TM,),
         in_specs=[
             pl.BlockSpec((TM, D), row, memory_space=pltpu.VMEM),
@@ -207,31 +359,63 @@ def _fused_mlp_bwd_impl(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((TM, D), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hd), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Mp, D), x.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gp, xp, vec(ln_s), vec(ln_b), w1b, vec(b1), w2b)
+
+    # chunk Hd so each chunk's fp32 accumulators fit VMEM (<= ~4 MB each)
+    K = 1
+    while (2 * D * (Hd // K) * 4 > 4 * 1024 * 1024
+           or Hd % K or (Hd // K) % 128):
+        K += 1
+        if K > Hd // 128:
+            K = Hd // 128
+            break
+    HC = Hd // K
+    dw1, db1, dw2, db2 = pl.pallas_call(
+        _bwd_dw_kernel,
+        grid=(K, Mp // TM),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, HC), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HC), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HC, D), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((D, HC), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HC), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HC, D), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
             jax.ShapeDtypeStruct((D, Hd), jnp.float32),
             jax.ShapeDtypeStruct((1, Hd), jnp.float32),
             jax.ShapeDtypeStruct((Hd, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=6 * 2 * Mp * D * Hd,
-            bytes_accessed=3 * Mp * D * x.dtype.itemsize + 2 * D * Hd * 4,
-            transcendentals=2 * Mp * Hd,
-        ),
         interpret=interpret,
-    )(gp, xp, vec(ln_s), vec(ln_b), w1.astype(jnp.bfloat16), vec(b1),
-      w2.astype(jnp.bfloat16))
-    dx, dw1, db1, dw2, db2, dscale, dbias = outs
+    )(gp, xp, vec(ln_s), vec(ln_b), w1b, vec(b1), w2b)
     return (dx[:M].reshape(B, N, D), dscale[0], dbias[0], dw1, db1[0],
             dw2, db2[0])
 
@@ -242,15 +426,18 @@ def _fwd(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool):
 
 
 def _bwd(interpret: bool, res, g):
-    """Fused Pallas backward (recompute-in-VMEM) when the fp32 weight-grad
-    accumulators fit the VMEM budget (ViT-S class); XLA math otherwise
-    (vit_base's 768x3072 accumulators alone are 19MB)."""
+    """Fused Pallas backward (recompute-in-VMEM). Single kernel when the
+    fp32 weight-grad accumulators fit the VMEM budget (ViT-S class);
+    dx-kernel + Hd-chunked dw-kernel otherwise (vit_base's 768x3072
+    accumulators alone are 19 MB)."""
     x, ln_s, ln_b, w1, b1, w2, b2 = res
     D, Hd = w1.shape
     if 2 * D * Hd * 4 > 8 * 1024 * 1024:
-        return _bwd_xla_reference(interpret, res, g)
-    dx, dscale, dbias, dw1, db1, dw2, db2 = _fused_mlp_bwd_impl(
-        g, x, ln_s, ln_b, w1, b1, w2, interpret)
+        dx, dscale, dbias, dw1, db1, dw2, db2 = _fused_mlp_bwd_bigdim(
+            g, x, ln_s, ln_b, w1, b1, w2, interpret)
+    else:
+        dx, dscale, dbias, dw1, db1, dw2, db2 = _fused_mlp_bwd_impl(
+            g, x, ln_s, ln_b, w1, b1, w2, interpret)
     return (dx, dscale.astype(ln_s.dtype), dbias.astype(ln_b.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype))

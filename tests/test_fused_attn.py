@@ -79,3 +79,35 @@ def test_full_vit_pallas_path(rng):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = max(1.0, np.abs(b).max())
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-2)
+
+
+def test_bigdim_backward_matches_xla_reference():
+    """The D>512 split backward (dx kernel + XLA weight-grad GEMMs) matches
+    the fp32 XLA reference at bf16-recompute tolerance (vit_base gate,
+    commit 9a9b307 lifted)."""
+    from mfvit_tpu.ops import fused_attn as fa
+
+    B, N, D, H = 2, 13, 768, 12
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    g = jax.random.normal(ks[0], (B, N, D), jnp.float32)
+    x = jax.random.normal(ks[1], (B, N, D), jnp.float32)
+    ln_s = 1 + 0.1 * jax.random.normal(ks[2], (D,))
+    ln_b = 0.1 * jax.random.normal(ks[3], (D,))
+    wqkv = 0.05 * jax.random.normal(ks[4], (D, 3 * D))
+    bqkv = 0.05 * jax.random.normal(ks[5], (3 * D,))
+    wproj = 0.05 * jax.random.normal(ks[6], (D, D))
+    bproj = 0.05 * jax.random.normal(ks[7], (D,))
+    scale = (D // H) ** -0.5
+    res = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    ref = fa._bwd_xla_reference(H, scale, True, res, g)
+    out = fa._fused_attn_bwd_bigdim(g, x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                    H, scale, True)
+    pairs = [(out[0], ref[0]), (out[1], ref[3]), (out[2], ref[4]),
+             (out[3], ref[5]), (out[4], ref[6]), (out[5], ref[1]),
+             (out[6], ref[2])]
+    for a, b in pairs:
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        sc = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / sc, b / sc, atol=1e-2)
+        cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999

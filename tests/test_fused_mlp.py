@@ -62,3 +62,30 @@ def test_vit_forward_with_fused_mlp_matches_xla(rng):
                   attn_backend="pallas_interpret")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_bigdim_backward_matches_xla_reference():
+    """The big-dim split backward (dx kernel + Hd-chunked dw kernel)
+    matches the fp32 XLA reference at bf16-recompute tolerance (vit_base
+    gate lifted)."""
+    from mfvit_tpu.ops import fused_mlp as fm
+
+    B, N, D, Hd = 2, 13, 768, 3072
+    ks = jax.random.split(jax.random.PRNGKey(4), 8)
+    g = jax.random.normal(ks[0], (B, N, D), jnp.float32)
+    x = jax.random.normal(ks[1], (B, N, D), jnp.float32)
+    ln_s = 1 + 0.1 * jax.random.normal(ks[2], (D,))
+    ln_b = 0.1 * jax.random.normal(ks[3], (D,))
+    w1 = 0.05 * jax.random.normal(ks[4], (D, Hd))
+    b1 = 0.05 * jax.random.normal(ks[5], (Hd,))
+    w2 = 0.05 * jax.random.normal(ks[6], (Hd, D))
+    b2 = 0.05 * jax.random.normal(ks[7], (D,))
+    res = (x, ln_s, ln_b, w1, b1, w2, b2)
+    ref = fm._bwd_xla_reference(True, res, g)
+    out = fm._fused_mlp_bwd_bigdim(g, x, ln_s, ln_b, w1, b1, w2, True)
+    for a, b in zip(out, ref):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        sc = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / sc, b / sc, atol=1e-2)
+        cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999

@@ -449,3 +449,43 @@ def test_fusion_head_gradients_match_reference():
 
     ours = jax.grad(loss)(fparams)
     _assert_params_close(ours, ref_grads, rtol=2e-4, atol=2e-5)
+
+
+def test_loss_curve_matches_torch_over_five_steps():
+    """Five SGD steps on identical weights/batches: the per-step training
+    LOSS CURVE matches torch — the learning-dynamics evidence behind
+    BASELINE's 'Top-1 within 0.2%' (finetune :716-718)."""
+    from mfvit_tpu.train import optim, steps
+
+    torch.manual_seed(5)
+    tm = TorchViT(TINY)
+    params = jax.tree.map(
+        jnp.copy, ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY))
+    rng = np.random.default_rng(6)
+    batches = [(rng.normal(size=(4, 32, 32, 3)).astype(np.float32),
+                rng.integers(0, 3, 4)) for _ in range(5)]
+    lr, wd, mom = 0.1, 1e-4, 0.9
+
+    opt = torch.optim.SGD(tm.parameters(), lr=lr, momentum=mom,
+                          weight_decay=wd)
+    ce = nn.CrossEntropyLoss()
+    ref_losses = []
+    for imgs, labels in batches:
+        opt.zero_grad()
+        loss = ce(tm(torch.tensor(imgs).permute(0, 3, 1, 2)),
+                  torch.tensor(labels))
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    tx = optim.build_optimizer("sgd", lr, weight_decay=wd, momentum=mom)
+    train_step, _ = steps.make_classifier_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla")
+    opt_state = tx.init(params)
+    our_losses = []
+    for imgs, labels in batches:
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, jnp.asarray(imgs), jnp.asarray(labels))
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)

@@ -60,6 +60,7 @@ def run(prefetch: bool):
     n = 0
     t0 = None
     done = 0
+    loss = None
     while done < STEPS:
         it = pipeline.device_prefetch(iter(loader)) if prefetch \
             else iter(loader)
@@ -72,6 +73,9 @@ def run(prefetch: bool):
                                          out_dtype=jnp.bfloat16)
             p, o, loss, _ = train_step(params, opt_state, x, lab)
             params, opt_state = p, o
+            # force per-step completion so the timed window excludes the
+            # compile (steps 0-1) but includes every timed step fully
+            np.asarray(loss)
             done += 1
             if done == 2:       # warmup: compile + cache fill
                 t0 = time.perf_counter()
@@ -79,8 +83,6 @@ def run(prefetch: bool):
             n += B
             if done >= STEPS:
                 break
-    loss.block_until_ready()
-    np.asarray(loss)
     return n / (time.perf_counter() - t0)
 
 
