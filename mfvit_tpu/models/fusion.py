@@ -116,8 +116,30 @@ def encode(params: Params, cxr_tokens: jnp.ndarray, enh_tokens: jnp.ndarray,
 
 
 def apply(params: Params, cxr_tokens: jnp.ndarray, enh_tokens: jnp.ndarray,
-          heads: int = 3) -> jnp.ndarray:
-    """Fusion head: tokens -> summed dual-head logits (B, num_classes) fp32."""
+          heads: int = 3, attn_backend: str | None = None) -> jnp.ndarray:
+    """Fusion head: tokens -> summed dual-head logits (B, num_classes) fp32.
+
+    On TPU with the reference default config (depth-1 encoder, lane-aligned
+    head_dim) the whole head runs as ONE Pallas kernel emitting just the two
+    fused CLS rows — the only rows ``apply`` consumes (fusion model
+    :141-155); the XLA path below materializes full fused sequences and is
+    kept for general configs and as the parity reference."""
+    from mfvit_tpu.ops import attention as attn_ops
+    from mfvit_tpu.ops import fused_fusion as ff
+
+    backend = attn_ops._resolve(attn_backend)
+    encs = params["encoders"]
+    dim = cxr_tokens.shape[-1]
+    if (backend in ("pallas", "pallas_interpret")
+            and ff.supported(len(encs[-1]["layers"]), len(encs), heads, dim)
+            and (cxr_tokens.shape[0] % 8 == 0
+                 or backend == "pallas_interpret")):
+        flat = ff._flatten_layer(encs[-1]["layers"][0])
+        cxr_cls, enh_cls = ff.fused_fusion_cls(
+            cxr_tokens, enh_tokens, flat, heads,
+            backend == "pallas_interpret")
+        return (linear(params["head_cxr"], cxr_cls)
+                + linear(params["head_enh"], enh_cls))
     cxr_ca, enh_ca = encode(params, cxr_tokens, enh_tokens, heads)
     cxr_fus = cxr_tokens + cxr_ca
     enh_fus = enh_tokens + enh_ca
@@ -143,5 +165,6 @@ def fused_forward(vit_params_cxr: Params, vit_params_enh: Params,
     enh_tokens, logits_enh = vit_mod.apply(
         vit_params_enh, img_enh, cfg, compute_dtype=compute_dtype,
         attn_backend=attn_backend, return_features=True)
-    fused = apply(fusion_params, cxr_tokens, enh_tokens, heads)
+    fused = apply(fusion_params, cxr_tokens, enh_tokens, heads,
+                  attn_backend=attn_backend)
     return fused, logits_cxr, logits_enh
