@@ -31,7 +31,7 @@ from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, 
 from mfvit_tpu.ops import attention as attn_ops
 from mfvit_tpu.ops.attention import mhsa_from_packed
 from mfvit_tpu.ops.fused_attn import fused_attention_block
-from mfvit_tpu.ops.fused_mlp import fused_mlp_block
+from mfvit_tpu.ops.fused_mlp import fused_mlp_block, fused_mlp_block_final_ln
 
 Params = Dict[str, Any]
 
@@ -171,6 +171,25 @@ def patchify(imgs: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
+def patch_embed(p: Params, imgs: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """patchify + projection as ONE two-axis dot_general over free views:
+    (B, gh, patch, gw, patch*C) x (patch, patch*C, dim) -> (B, gh, gw, dim).
+
+    Mathematically identical to ``linear(p, patchify(imgs, patch))`` but
+    skips the physical patchify transpose of the ~600 MB image batch — XLA
+    folds the axis shuffle into the GEMM's operand pipeline (11.7 -> 6.9
+    ms per ViT-S stem at B=2048 on v5e; tools/bench_stem.py)."""
+    B, H, W, C = imgs.shape
+    gh, gw = H // patch, W // patch
+    x5 = imgs.reshape(B, gh, patch, gw, patch * C)
+    dim = p["w"].shape[1]
+    w3 = p["w"].reshape(patch, patch * C, dim).astype(imgs.dtype)
+    x = jax.lax.dot_general(x5, w3, (((2, 4), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    x = (x + p["b"]).astype(imgs.dtype)
+    return x.reshape(B, gh * gw, dim)
+
+
 def _conv_stem(p: Params, imgs: jnp.ndarray) -> jnp.ndarray:
     """MoCo-v3 ConvStem forward (inference-mode BN with running stats —
     the reference only ever trains these archs under MoCo where the BN
@@ -210,9 +229,11 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
         patch_p = jax.tree.map(jax.lax.stop_gradient, patch_p)
     if cfg.conv_stem:
         x = _conv_stem(patch_p, imgs.astype(compute_dtype))  # (B, N, dim)
-    else:
+    elif "wq" in patch_p:
         x = patchify(imgs.astype(compute_dtype), cfg.patch)
-        x = linear(patch_p, x)  # (B, N, dim)
+        x = linear(patch_p, x)  # int8-quantized patch projection
+    else:
+        x = patch_embed(patch_p, imgs.astype(compute_dtype), cfg.patch)
     cls = jnp.broadcast_to(params["cls"].astype(compute_dtype), (B, 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1)
     if cfg.learned_pos:
@@ -225,7 +246,9 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     backend = attn_ops._resolve(attn_backend)
     pallas_path = backend in ("pallas", "pallas_interpret")
     interp = backend == "pallas_interpret"
-    for blk in params["blocks"]:
+    final_ln_done = False
+    last_i = len(params["blocks"]) - 1
+    for bi, blk in enumerate(params["blocks"]):
         if "qkv8" in blk:
             # int8 W8A8 serving path (ops/fused_int8.py): quantization
             # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16
@@ -257,17 +280,28 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
                                     backend=attn_backend)
             x = x + linear(blk["proj"], attn)
         if pallas_path and "wq" not in blk["mlp"]["fc1"]:
-            # fused LN+fc1+GELU+fc2+residual kernel (120 vs 80 TF/s on
-            # v5e — docs/PERF.md)
-            x = fused_mlp_block(
-                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
-                blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
-                blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
-                backend == "pallas_interpret")
+            if bi == last_i:
+                # last block: the model's final LayerNorm folds into the
+                # kernel epilogue — one less HBM round-trip of the tokens
+                x = fused_mlp_block_final_ln(
+                    x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
+                    blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
+                    params["norm"]["scale"], params["norm"]["bias"],
+                    interp)
+                final_ln_done = True
+            else:
+                # fused LN+fc1+GELU+fc2+residual kernel (120 vs 80 TF/s
+                # on v5e — docs/PERF.md)
+                x = fused_mlp_block(
+                    x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
+                    blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
+                    interp)
         else:
             x = x + mlp(blk["mlp"], layernorm(blk["norm2"], x))
 
-    tokens = layernorm(params["norm"], x)
+    tokens = x if final_ln_done else layernorm(params["norm"], x)
     cls_out = tokens[:, 0].astype(jnp.float32)
     if "head" in params:
         out = linear(params["head"], cls_out)  # fp32 logits

@@ -126,6 +126,123 @@ def _fused_mlp_impl(x, ln_s, ln_b, w1, b1, w2, b2, interpret: bool,
       w2.astype(x.dtype), vec(b2))
 
 
+# ------------------------- final-block variant: epilogue LayerNorm ------
+#
+# The ViT's LAST block can fold the model's final LayerNorm into the MLP
+# kernel's epilogue, saving one full HBM round-trip of the activations
+# (~1.9 ms per ViT-S branch at B=2048 — tools/profile_fwd.py). Backward:
+# the epilogue LN backprops in XLA (recompute of o = x + MLP(LN(x)) in
+# fp32), then the gradient flows through the standard fused MLP backward.
+
+def _mlp_kernel_final(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, fs_ref, fb_ref, o_ref):
+    cb, N, D = x_ref.shape
+    for b in range(cb):
+        x = x_ref[b]
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s_ref[...]
+             + ln_b_ref[...]).astype(x.dtype)
+        h = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = _gelu_exactish(h + b1_ref[...]).astype(x.dtype)
+        y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = xf + y + b2_ref[...]
+        mu2 = jnp.mean(o, -1, keepdims=True)
+        var2 = jnp.mean(jnp.square(o - mu2), -1, keepdims=True)
+        o_ref[b] = ((o - mu2) * jax.lax.rsqrt(var2 + 1e-6) * fs_ref[...]
+                    + fb_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_mlp_block_final_ln(x, ln_s, ln_b, w1, b1, w2, b2, final_s,
+                             final_b, interpret: bool = False):
+    """x (B, N, dim) -> LN_final(x + MLP(LN(x))) — the ViT's last block
+    with the model's final LayerNorm folded into the kernel epilogue."""
+    return _fused_mlp_final_impl(x, ln_s, ln_b, w1, b1, w2, b2, final_s,
+                                 final_b, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "cb"))
+def _fused_mlp_final_impl(x, ln_s, ln_b, w1, b1, w2, b2, final_s, final_b,
+                          interpret: bool, cb: int | None = None):
+    B, N, D = x.shape
+    Hd = w1.shape[1]
+    CB = cb if cb else _pick_cb(B, N, D, Hd)
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        _mlp_kernel_final,
+        grid=(B // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hd, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CB, N, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D * Hd * 2,
+            bytes_accessed=2 * B * N * D * x.dtype.itemsize + D * Hd * 4,
+            transcendentals=B * N * Hd,
+        ),
+        interpret=interpret,
+    )(x, vec(ln_s), vec(ln_b), w1.astype(x.dtype), vec(b1),
+      w2.astype(x.dtype), vec(b2), vec(final_s), vec(final_b))
+
+
+def _final_fwd(x, ln_s, ln_b, w1, b1, w2, b2, final_s, final_b,
+               interpret: bool):
+    out = _fused_mlp_final_impl(x, ln_s, ln_b, w1, b1, w2, b2, final_s,
+                                final_b, interpret)
+    return out, (x, ln_s, ln_b, w1, b1, w2, b2, final_s, final_b)
+
+
+def _final_bwd(interpret: bool, res, g):
+    x, ln_s, ln_b, w1, b1, w2, b2, final_s, final_b = res
+    # recompute o = x + MLP(LN(x)) in fp32 (XLA; one block's forward) and
+    # backprop the epilogue LN, then reuse the fused MLP backward
+    B, N, D = x.shape
+    xf = x.reshape(-1, D).astype(jnp.float32)
+    gf = g.reshape(-1, D).astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h1 = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+    a = h1 @ w1.astype(jnp.float32) + b1
+    cdf = 0.5 * (1.0 + jax.lax.erf(a * 0.7071067811865476))
+    o = xf + (a * cdf) @ w2.astype(jnp.float32) + b2
+    mu2 = jnp.mean(o, -1, keepdims=True)
+    var2 = jnp.mean(jnp.square(o - mu2), -1, keepdims=True)
+    inv2 = jax.lax.rsqrt(var2 + 1e-6)
+    ohat = (o - mu2) * inv2
+    d_final_s = jnp.sum(gf * ohat, 0)
+    d_final_b = jnp.sum(gf, 0)
+    dohat = gf * final_s
+    go = inv2 * (dohat - jnp.mean(dohat, -1, keepdims=True)
+                 - ohat * jnp.mean(dohat * ohat, -1, keepdims=True))
+    g2 = go.reshape(B, N, D).astype(x.dtype)
+    dx, dscale, dbias, dw1, db1, dw2, db2 = _bwd(interpret, (
+        x, ln_s, ln_b, w1, b1, w2, b2), g2)
+    return (dx, dscale, dbias, dw1, db1, dw2, db2,
+            d_final_s.astype(final_s.dtype), d_final_b.astype(final_b.dtype))
+
+
+fused_mlp_block_final_ln.defvjp(_final_fwd, _final_bwd)
+
+
 def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref):
     """Fused backward: recompute LN/hidden in VMEM, all five gradient

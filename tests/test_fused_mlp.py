@@ -89,3 +89,34 @@ def test_bigdim_backward_matches_xla_reference():
         np.testing.assert_allclose(a / sc, b / sc, atol=1e-2)
         cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.999
+
+
+def test_final_ln_variant_values_and_grads(args):
+    """fused_mlp_block_final_ln == LN_final(fused_mlp_block(...)), values
+    and gradients (the epilogue-LN backward recomputes in XLA fp32)."""
+    from mfvit_tpu.ops.fused_mlp import fused_mlp_block_final_ln
+
+    D = args[0].shape[-1]
+    fs = jnp.ones(D) * 0.9
+    fb = jnp.zeros(D) + 0.02
+
+    def ref(*a):
+        return layernorm({"scale": a[7], "bias": a[8]}, _xla_ref(*a[:7]))
+
+    full = args + (fs, fb)
+    out = fused_mlp_block_final_ln(*full, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(*full)),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss_f(fn):
+        def inner(*a):
+            return jnp.sum(fn(*a) ** 2)
+        return inner
+
+    gp = jax.grad(loss_f(lambda *a: fused_mlp_block_final_ln(*a, True)),
+                  argnums=tuple(range(9)))(*full)
+    gx = jax.grad(loss_f(ref), argnums=tuple(range(9)))(*full)
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, atol=4e-3)

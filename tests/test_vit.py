@@ -102,3 +102,17 @@ def test_vit_learned_pos_variant(rng):
     g = jax.grad(lambda p: jnp.sum(vit.apply(
         p, img, cfg, compute_dtype=jnp.float32, attn_backend="xla") ** 2))(params)
     assert np.abs(np.asarray(g["pos"])).max() > 0  # learned => has grads
+
+
+def test_patch_embed_matches_patchify_linear(rng):
+    """The two-axis dot_general patch embed == patchify + linear (the
+    formulation that skips the physical image transpose)."""
+    from mfvit_tpu.nn.layers import linear
+    for C in (3, 4):
+        p = {"w": jax.random.normal(rng, (8 * 8 * C, 48)) * 0.05,
+             "b": jax.random.normal(jax.random.PRNGKey(1), (48,)) * 0.1}
+        imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, C))
+        ref = linear(p, vit.patchify(imgs, 8))
+        got = vit.patch_embed(p, imgs, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
