@@ -280,9 +280,12 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
                                     backend=attn_backend)
             x = x + linear(blk["proj"], attn)
         if pallas_path and "wq" not in blk["mlp"]["fc1"]:
-            if bi == last_i:
+            if bi == last_i and cfg.dim <= 512:
                 # last block: the model's final LayerNorm folds into the
-                # kernel epilogue — one less HBM round-trip of the tokens
+                # kernel epilogue — one less HBM round-trip of the tokens.
+                # Gated to ViT-S-class dims: at vit_base the variant's
+                # backward call site makes XLA pin the big-dim dx-kernel
+                # outputs in VMEM (S(1)), blowing the 16 MB scoped budget
                 x = fused_mlp_block_final_ln(
                     x, blk["norm2"]["scale"], blk["norm2"]["bias"],
                     blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"],
