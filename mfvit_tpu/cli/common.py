@@ -91,6 +91,23 @@ def get_arch(args):
     return vit_mod.get_config(args.arch, args.img_size)
 
 
+def get_vit_arch(args):
+    """ViT-only entry points (finetune/fuse/infer). The reference accepts
+    resnet archs and the 4-channel input only in the pretrain main
+    (:52-62, builder_4ch.py); its finetune/fusion mains are ViT-only
+    (finetune :51-52) — reject cleanly at the CLI instead of crashing
+    deep inside model init."""
+    if args.arch.startswith("resnet"):
+        raise SystemExit(
+            f"-a {args.arch}: resnet backbones are pretrain-only "
+            "(the reference finetune/fusion mains are ViT-only)")
+    if getattr(args, "in_chans", 3) != 3:
+        raise SystemExit(
+            "--in-chans 4 is a pretrain-only variant (builder_4ch.py); "
+            "finetune/fuse/infer are 3-channel")
+    return get_arch(args)
+
+
 def compute_dtype(args):
     return jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 

@@ -199,7 +199,7 @@ def train_one_draw_fn(args, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    cfg = common.get_arch(args)
+    cfg = common.get_vit_arch(args)
     exp_type = "finetune" if args.semi_supervised else "linear_probe"
     folder = storage.get_storage_folder(args.exp_name, exp_type,
                                         root=args.storage_root)

@@ -190,13 +190,16 @@ def train_one_draw_fn(args, cfg):
             for b in ("cxr", "enh"):
                 flat_now = {str(k): v for k, v in
                             jax.tree_util.tree_leaves_with_path(params[b])}
-                for k_, v in {str(k): v for k, v in
-                              jax.tree_util.tree_leaves_with_path(
-                                  frozen_snapshot[b])}.items():
-                    if "head" in k_:
+                for path, v in jax.tree_util.tree_leaves_with_path(
+                        frozen_snapshot[b]):
+                    # only the top-level classifier head trains
+                    if path and getattr(path[0], "key", None) == "head":
                         continue
-                    assert np.array_equal(np.asarray(flat_now[k_]), v), \
-                        f"fusion sanity check failed at {b}{k_}"
+                    if not np.array_equal(np.asarray(flat_now[str(path)]), v):
+                        raise ValueError(
+                            f"fusion sanity check failed: frozen branch "
+                            f"weight {b}{jax.tree_util.keystr(path)} "
+                            "changed during training")
             print("=> fusion sanity check passed.")
         return result
 
@@ -205,7 +208,7 @@ def train_one_draw_fn(args, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    cfg = common.get_arch(args)
+    cfg = common.get_vit_arch(args)
     folder = storage.get_storage_folder(args.exp_name, "mfvit_ca",
                                         root=args.storage_root)
     harness.snapshot_args(folder, args)

@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    cfg = common.get_arch(args)
+    cfg = common.get_vit_arch(args)
     k = jax.random.PRNGKey(0)
     like = {
         "cxr": vit_mod.init(k, cfg, num_classes=args.num_classes),
@@ -106,10 +106,15 @@ def main(argv=None):
         # overlaps device compute (docs/PERF.md measurement notes) —
         # previously this path under-reported through the axon tunnel
         batch = next(iter(loader))
-        xc0, xe0 = (device_aug.augment_batch(
-            jax.random.PRNGKey(0), jnp.asarray(b), img_type=flavor,
-            training=False, out_dtype=dt)
-            for b, flavor in zip(batch[:2], ("data", "Train_Mix")))
+        if args.aug_device:
+            xc0, xe0 = (device_aug.augment_batch(
+                jax.random.PRNGKey(0), jnp.asarray(b), img_type=flavor,
+                training=False, out_dtype=dt)
+                for b, flavor in zip(batch[:2], ("data", "Train_Mix")))
+        else:
+            # --aug-host: batches are already normalized floats — feed them
+            # exactly as the eval path does (common.make_eval_runner)
+            xc0, xe0 = (jnp.asarray(b, dt) for b in batch[:2])
         bsz = int(xc0.shape[0])
         np.asarray(forward(xc0, xe0))  # warm
         iters = 10

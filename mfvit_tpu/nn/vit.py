@@ -31,6 +31,7 @@ from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, 
 from mfvit_tpu.ops import attention as attn_ops
 from mfvit_tpu.ops.attention import mhsa_from_packed
 from mfvit_tpu.ops.fused_attn import fused_attention_block
+from mfvit_tpu.ops.fused_attn import supported as fused_attn_supported
 from mfvit_tpu.ops.fused_mlp import fused_mlp_block, fused_mlp_block_final_ln
 
 Params = Dict[str, Any]
@@ -246,6 +247,12 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     backend = attn_ops._resolve(attn_backend)
     pallas_path = backend in ("pallas", "pallas_interpret")
     interp = backend == "pallas_interpret"
+    inner_backend = attn_backend
+    if pallas_path and not interp and not fused_attn_supported(
+            cfg.seq_len, cfg.dim, cfg.heads):
+        # VMEM-infeasible dims (e.g. --img-size >= 384): unfused XLA math
+        pallas_path = False
+        inner_backend = "xla"
     final_ln_done = False
     last_i = len(params["blocks"]) - 1
     for bi, blk in enumerate(params["blocks"]):
@@ -277,7 +284,7 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             h = layernorm(blk["norm1"], x)
             qkv = linear(blk["qkv"], h)  # (B, N, 3*dim)
             attn = mhsa_from_packed(qkv, cfg.heads, scale,
-                                    backend=attn_backend)
+                                    backend=inner_backend)
             x = x + linear(blk["proj"], attn)
         if pallas_path and "wq" not in blk["mlp"]["fc1"]:
             if bi == last_i and cfg.dim <= 512:

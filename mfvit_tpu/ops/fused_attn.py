@@ -87,6 +87,22 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         out_of(b, qkvs[b], *pr[b])
 
 
+def supported(N: int, D: int, heads: int) -> bool:
+    """Do the fused attention kernels fit VMEM at these dims? Checks the
+    CB=1 forward working set and, for D > 512, the big-dim backward's
+    minimal (1-head) group buffers. vit.apply falls back to the unfused
+    XLA-math path when False — e.g. img-size >= 384 (N = 577) blows the
+    fp32 score buffer at any CB."""
+    Np = -(-N // 128) * 128
+    weights = (3 * D * D + D * D) * 2
+    per_img = (heads * N * Np * 4 + 3 * D * Np * 2 + 4 * N * D * 2)
+    if weights + per_img >= 16.5 * 1024 * 1024:
+        return False
+    if D > 512 and 4 * N * Np * 4 >= 4 * 1024 * 1024:
+        return False
+    return True
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_attention_block(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
                           heads: int, scale: float, interpret: bool = False):
@@ -115,9 +131,14 @@ def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret,
         # budget calibrated on-chip: ViT-S CB=4 (est 15.6 MB) compiles,
         # vit_base CB=4 (est 23.9 MB) OOMs at 19.6 MB actual — Mosaic's
         # liveness reuse makes the estimate conservative by ~20%
-        CB = next(c for c in (4, 2, 1)
-                  if B % c == 0
-                  and weights + c * per_img < 16.5 * 1024 * 1024)
+        CB = next((c for c in (4, 2, 1)
+                   if B % c == 0
+                   and weights + c * per_img < 16.5 * 1024 * 1024), None)
+        if CB is None:
+            raise ValueError(
+                f"fused attention kernel does not fit VMEM at N={N}, "
+                f"D={D} even at CB=1 — gate call sites on "
+                "fused_attn.supported() (vit.apply does)")
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)
@@ -417,9 +438,14 @@ def _fused_attn_bwd_bigdim(g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads,
     # smallest divisor-of-heads group count whose ~4 fp32 (G, N, N)
     # group buffers stay under ~6 MB
     Np = -(-N // 128) * 128
-    hg = next(k for k in range(1, heads + 1)
-              if heads % k == 0
-              and 4 * (heads // k) * N * Np * 4 < 4 * 1024 * 1024)
+    hg = next((k for k in range(1, heads + 1)
+               if heads % k == 0
+               and 4 * (heads // k) * N * Np * 4 < 4 * 1024 * 1024), None)
+    if hg is None:
+        raise ValueError(
+            f"big-dim attention backward does not fit VMEM at N={N}, "
+            f"D={D} even with 1-head groups — gate call sites on "
+            "fused_attn.supported()")
     kern = functools.partial(_bwd_dx_kernel, heads=heads, scale=scale,
                              has_bias=has_bias, head_groups=hg)
     outs = pl.pallas_call(

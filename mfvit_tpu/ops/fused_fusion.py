@@ -183,6 +183,11 @@ def _impl(tok_c, tok_e, flat, heads, interpret, cb: int | None = None):
         # 8-divisible (Pallas block rule) — callers fall back to the XLA
         # path when B % 8 != 0 (see fusion.apply)
         CB = 8
+    if B % CB:
+        raise ValueError(
+            f"fused_fusion_cls needs B % {CB} == 0 (got B={B}); a partial "
+            "last grid step would return uninitialized rows — use the XLA "
+            "path (fusion.apply gates on this)")
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)

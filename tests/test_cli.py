@@ -214,3 +214,20 @@ def test_pretrain_cli_byol_aug(covid_root):
         "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "16",
         "--aug-setting", "moco_v2", "--semi-ratios", "1"])
     assert np.isfinite(results[0].extra["final_loss"])
+
+
+def test_vit_only_clis_reject_resnet_and_4ch():
+    """finetune/fuse/infer reject the pretrain-only resnet archs and the
+    4-channel input cleanly instead of crashing in model init."""
+    import argparse
+    from mfvit_tpu.cli import common
+
+    ns = argparse.Namespace(arch="resnet18", img_size=224, in_chans=3)
+    with pytest.raises(SystemExit):
+        common.get_vit_arch(ns)
+    ns = argparse.Namespace(arch="vit_small", img_size=224, in_chans=4)
+    with pytest.raises(SystemExit):
+        common.get_vit_arch(ns)
+    cfg = common.get_vit_arch(
+        argparse.Namespace(arch="vit_small", img_size=224, in_chans=3))
+    assert cfg.dim == 384

@@ -111,3 +111,22 @@ def test_bigdim_backward_matches_xla_reference():
         np.testing.assert_allclose(a / sc, b / sc, atol=1e-2)
         cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.999
+
+
+def test_supported_gates_large_dims():
+    """VMEM feasibility check: ViT-S/base at 224 fit; img-size 384
+    (N=577) does not — vit.apply falls back to XLA math instead of a
+    StopIteration mid-trace."""
+    from mfvit_tpu.ops import fused_attn as fa
+    from mfvit_tpu.nn import vit
+
+    assert fa.supported(197, 384, 12)
+    assert fa.supported(197, 768, 12)
+    assert not fa.supported(577, 384, 12)
+
+    cfg = vit.get_config("vit_small", img_size=384)
+    params = vit.init(jax.random.PRNGKey(0), cfg, num_classes=3)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 384, 384, 3))
+    out = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                    attn_backend="pallas")  # degrades to XLA, no crash
+    assert out.shape == (2, 3)
