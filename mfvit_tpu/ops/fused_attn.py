@@ -129,11 +129,14 @@ def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret,
                    + 3 * D * Np * 2       # bf16 qkv_t
                    + 4 * N * D * 2)       # in/out tiles (double-buffered)
         # budget calibrated on-chip: ViT-S CB=4 (est 15.6 MB) compiles,
-        # vit_base CB=4 (est 23.9 MB) OOMs at 19.6 MB actual — Mosaic's
-        # liveness reuse makes the estimate conservative by ~20%
+        # vit_base CB=4 (est 23.9 MB) OOMs at 19.6 MB actual. For
+        # D > 512 the estimate runs HOT instead of conservative —
+        # vit_base CB=2 (est 14.3 MB) measured 16.65 MB scoped, an
+        # at-the-edge compile that passes or OOMs depending on scheduling
+        # — so big dims get a stricter budget (CB=1, est 9.5 MB).
+        budget = (16.5 if D <= 512 else 13.0) * 1024 * 1024
         CB = next((c for c in (4, 2, 1)
-                   if B % c == 0
-                   and weights + c * per_img < 16.5 * 1024 * 1024), None)
+                   if B % c == 0 and weights + c * per_img < budget), None)
         if CB is None:
             raise ValueError(
                 f"fused attention kernel does not fit VMEM at N={N}, "
