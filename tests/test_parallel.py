@@ -169,3 +169,33 @@ def test_moco_parallel_matches_single_device():
                     jax.tree_util.tree_leaves(s8["base"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=4e-4, atol=2e-6)
+
+
+def test_sharded_fused_inference_matches_single_device(rng):
+    """Serving-scale data parallelism: the MF-ViT CA fused forward over a
+    batch-sharded 8-device mesh returns the same decision logits as a
+    single device (the inference analogue of the DDP training tests)."""
+    from mfvit_tpu.models import fusion
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    vp_c = vit.init(k1, TINY, num_classes=3)
+    vp_e = vit.init(k2, TINY, num_classes=3)
+    fp = fusion.init(k3, num_classes=3, dim=TINY.dim, heads=2)
+    imgs = jax.random.normal(jax.random.PRNGKey(4), (16, 32, 32, 3))
+
+    def fwd(vc, ve, f, a, b):
+        fused, lc, le = fusion.fused_forward(vc, ve, f, a, b, TINY,
+                                             compute_dtype=jnp.float32,
+                                             attn_backend="xla", heads=2)
+        return fused + lc + le
+
+    ref = jax.jit(fwd)(vp_c, vp_e, fp, imgs, imgs)
+
+    m = pmesh.make_mesh(8)
+    vc2 = pmesh.replicate(vp_c, m)
+    ve2 = pmesh.replicate(vp_e, m)
+    fp2 = pmesh.replicate(fp, m)
+    imgs_s = pmesh.shard_batch(imgs, m)
+    out = jax.jit(fwd)(vc2, ve2, fp2, imgs_s, imgs_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
