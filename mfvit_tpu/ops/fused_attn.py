@@ -181,7 +181,11 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 has_bias: bool):
     """Fused attention-half backward: recompute LN/qkv/softmax in VMEM,
     all gradient GEMMs on-chip, weight grads accumulated across the
-    sequential grid."""
+    sequential grid. ISSUE ORDER is staged like the forward's: image
+    b+1's recompute phase (VPU LN + softmax around one MXU GEMM) is
+    issued before image b's gradient phase (MXU-heavy), so the engines
+    overlap across images instead of ping-ponging within one (4.39 vs
+    4.64 ms at B=256/CB=2, bit-identical — tools/bench_bwd_staged.py)."""
     cb, N, D = x_ref.shape
     Dh = D // heads
 
@@ -196,7 +200,10 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     wq = wqkv_ref[...]
     wp = wproj_ref[...]
-    for b in range(cb):
+
+    def recompute(b):
+        """Forward recompute for image b — INCLUDING the qkv bias
+        (omitting it once produced a 13% dwproj error)."""
         xb = x_ref[b].astype(jnp.float32)          # (N, D)
         gb = g_ref[b].astype(jnp.float32)
         mu = jnp.mean(xb, -1, keepdims=True)
@@ -204,8 +211,6 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         inv = jax.lax.rsqrt(var + 1e-6)
         xhat = (xb - mu) * inv
         h = (xhat * lns_ref[...] + lnb_ref[...]).astype(jnp.bfloat16)
-        # recompute forward attention pieces (INCLUDING the qkv bias —
-        # omitting it once produced a 13% dwproj error)
         qkv_t = jax.lax.dot_general(wq, h, (((0,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         if has_bias:
@@ -217,18 +222,20 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         mx = jnp.max(s, -1, keepdims=True)
         e = jnp.exp(s - mx)
         p = e / jnp.sum(e, -1, keepdims=True)      # (H, N, N) fp32
+        return dict(gb=gb, inv=inv, xhat=xhat, h=h, q=q, k=k, v=v, p=p)
+
+    def grads(b, r):
+        gb, p, v, q, k, h = r["gb"], r["p"], r["v"], r["q"], r["k"], r["h"]
         pb = p.astype(jnp.bfloat16)
         o = jax.lax.dot_general(v, pb, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         o = o.reshape(D, N)                          # (D, N) fp32
-
         gbf = gb.astype(jnp.bfloat16)
         # proj grads: y = o^T wproj + bproj. Kept fp32 — cancellation-heavy
         # sums, and this GEMM is tiny (D*N*D) so fp32 is free.
         dwproj_ref[...] += jax.lax.dot_general(
             o, gb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (D, Dout)
-        o = o.astype(jnp.bfloat16)
         dbproj_ref[...] += jnp.sum(gb, 0, keepdims=True)
         # do (D, N) = wproj @ g^T
         do = jax.lax.dot_general(wp, gbf, (((1,), (1,)), ((), ())),
@@ -258,12 +265,20 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         # dh (N, D) = dqkv_t^T wq^T
         dh = jax.lax.dot_general(dqkv_t, wq, (((0,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (N, D)
-        ds_ref[...] += jnp.sum(dh * xhat, 0, keepdims=True)
+        ds_ref[...] += jnp.sum(dh * r["xhat"], 0, keepdims=True)
         db_ref[...] += jnp.sum(dh, 0, keepdims=True)
         dxhat = dh * lns_ref[...]
-        dx_ln = inv * (dxhat - jnp.mean(dxhat, -1, keepdims=True)
-                       - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+        dx_ln = r["inv"] * (
+            dxhat - jnp.mean(dxhat, -1, keepdims=True)
+            - r["xhat"] * jnp.mean(dxhat * r["xhat"], -1, keepdims=True))
         dx_ref[b] = (gb + dx_ln).astype(dx_ref.dtype)
+
+    rs = [None] * cb
+    rs[0] = recompute(0)
+    for b in range(cb):
+        if b + 1 < cb:
+            rs[b + 1] = recompute(b + 1)
+        grads(b, rs[b])
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
