@@ -73,8 +73,10 @@ class TorchViT(nn.Module):
             x = b(x)
         return self.head(self.norm(x)[:, 0])
 
-    def state_dict_vits_names(self):
-        """Rename to the MoCo-v3 vits.py key layout the converter expects."""
+    def state_dict_vits_names(self, include_head=True):
+        """Rename to the MoCo-v3 vits.py key layout the converter expects.
+        ``include_head=False`` supports the MoCo builders, which delete
+        ``.head`` and graft a projector Sequential in its place."""
         sd = {}
         sd["patch_embed.proj.weight"] = self.patch_conv.weight.detach().numpy()
         sd["patch_embed.proj.bias"] = self.patch_conv.bias.detach().numpy()
@@ -95,8 +97,9 @@ class TorchViT(nn.Module):
             sd[p + "mlp.fc2.bias"] = b.fc2.bias.detach().numpy()
         sd["norm.weight"] = self.norm.weight.detach().numpy()
         sd["norm.bias"] = self.norm.bias.detach().numpy()
-        sd["head.weight"] = self.head.weight.detach().numpy()
-        sd["head.bias"] = self.head.bias.detach().numpy()
+        if include_head:
+            sd["head.weight"] = self.head.weight.detach().numpy()
+            sd["head.bias"] = self.head.bias.detach().numpy()
         return sd
 
 
@@ -489,3 +492,124 @@ def test_loss_curve_matches_torch_over_five_steps():
         our_losses.append(float(loss))
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)
+
+
+# ----------------------- MoCo objective parity vs the REFERENCE builder --
+# THE pretraining objective (SURVEY §2.3): forward_v2_queue must match the
+# actual builder_vit_mocov3structure_mocov2loss.MoCo_ViT imported from
+# /root/reference — logits, loss, EMA update, and queue ring — on identical
+# weights and batches (fp32, single-process gloo 'DDP').
+
+def _init_single_process_dist(tmp_path):
+    import torch.distributed as dist
+    if dist.is_initialized():
+        return
+    dist.init_process_group(
+        "gloo", init_method=f"file://{tmp_path}/dist_init",
+        world_size=1, rank=0)
+
+
+def _torch_mlp_to_params(seq):
+    """torch Sequential from MoCo's _build_mlp -> our ssl.moco MLP pytree
+    ({'layers': [{'lin', 'bn'|'bn_noaffine'?}, ...]})."""
+    layers = []
+    cur = None
+    for m in seq:
+        if isinstance(m, nn.Linear):
+            if cur is not None:
+                layers.append(cur)
+            cur = {"lin": {"w": jnp.asarray(m.weight.detach().numpy().T)}}
+            if m.bias is not None:
+                cur["lin"]["b"] = jnp.asarray(m.bias.detach().numpy())
+        elif isinstance(m, nn.BatchNorm1d):
+            bn = {"mean": jnp.asarray(m.running_mean.numpy()),
+                  "var": jnp.asarray(m.running_var.numpy())}
+            if m.affine:
+                bn["scale"] = jnp.asarray(m.weight.detach().numpy())
+                bn["bias"] = jnp.asarray(m.bias.detach().numpy())
+                cur["bn"] = bn
+            else:
+                cur["bn_noaffine"] = bn
+    layers.append(cur)
+    return {"layers": layers}
+
+
+def _moco_tower_to_params(torch_vit, cfg):
+    return {
+        "encoder": ckpt.torch_vit_to_params(
+            torch_vit.state_dict_vits_names(include_head=False), cfg,
+            expect_head=False),
+        "projector": _torch_mlp_to_params(torch_vit.head),
+    }
+
+
+@pytest.mark.parametrize("predictor_on_keys", [True, False])
+def test_moco_v2queue_matches_reference_builder(tmp_path, predictor_on_keys):
+    """forward_v2_queue vs the reference MoCo_ViT (and its
+    _noprediction_q twin): identical weights/batch -> same logits, loss,
+    EMA'd momentum tower, and queue contents."""
+    import importlib
+
+    from mfvit_tpu.ssl import moco
+
+    _init_single_process_dist(tmp_path)
+    # the reference hardcodes .cuda() on the shuffle permutation and the
+    # labels — run it CPU-only by stubbing Tensor.cuda
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+        name = ("moco.builder_vit_mocov3structure_mocov2loss"
+                + ("" if predictor_on_keys else "_noprediction_q"))
+        mod = importlib.import_module(name)
+
+        torch.manual_seed(7)
+        dim, mlp_dim, T, m = 16, 32, 0.2, 0.97
+        args = types.SimpleNamespace(arch="vit_small")
+        ref = mod.MoCo_ViT(lambda num_classes: TorchViT(TINY, num_classes),
+                           args, dim=dim, mlp_dim=mlp_dim, T=T)
+        # make the EMA non-trivial: momentum tower must differ from base
+        with torch.no_grad():
+            for p in ref.momentum_encoder.parameters():
+                p.add_(0.01 * torch.randn_like(p))
+
+        cfg = moco.MoCoConfig(dim=dim, mlp_dim=mlp_dim, K=ref.K, T=T,
+                              predictor_on_keys=predictor_on_keys,
+                              stop_grad_conv1=False)
+        state = {
+            "base": _moco_tower_to_params(ref.base_encoder, TINY),
+            "momentum": _moco_tower_to_params(ref.momentum_encoder, TINY),
+            "predictor": _torch_mlp_to_params(ref.predictor),
+            # np.copy: on CPU jnp.asarray aliases the torch storage, and
+            # the reference's _dequeue_and_enqueue mutates it in place
+            "queue": jnp.asarray(np.copy(ref.queue.numpy())),
+            "queue_ptr": jnp.zeros((), jnp.int32),
+        }
+
+        rng = np.random.default_rng(8)
+        im_q = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+        im_k = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+        tq = torch.tensor(im_q).permute(0, 3, 1, 2)
+        tk = torch.tensor(im_k).permute(0, 3, 1, 2)
+
+        logits_t, labels_t = ref(tq, tk, m)
+        loss_t = nn.CrossEntropyLoss()(logits_t, labels_t)
+
+        loss_j, aux = moco.forward_v2_queue(
+            state, jnp.asarray(im_q), jnp.asarray(im_k), m, cfg, TINY,
+            compute_dtype=jnp.float32)
+
+        np.testing.assert_allclose(
+            np.asarray(aux["logits"]), logits_t.detach().numpy(),
+            rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+        # queue ring updated identically (reference enqueues in place)
+        np.testing.assert_allclose(np.asarray(aux["queue"]),
+                                   ref.queue.numpy(), rtol=1e-4, atol=1e-4)
+        assert int(aux["queue_ptr"]) == int(ref.queue_ptr)
+        # EMA'd momentum tower parameters match (spot-check via converter)
+        ema_ref = _moco_tower_to_params(ref.momentum_encoder, TINY)
+        _assert_params_close(aux["momentum"]["encoder"],
+                             ema_ref["encoder"], rtol=1e-5, atol=1e-6)
+    finally:
+        torch.Tensor.cuda = orig_cuda
