@@ -521,6 +521,10 @@ def _torch_mlp_to_params(seq):
             cur = {"lin": {"w": jnp.asarray(m.weight.detach().numpy().T)}}
             if m.bias is not None:
                 cur["lin"]["b"] = jnp.asarray(m.bias.detach().numpy())
+        elif isinstance(m, nn.ReLU):
+            # BN-free stack (v2-classic): plain ReLU between Linears
+            if "bn" not in cur:
+                cur["relu_marker"] = jnp.zeros((0,), jnp.float32)
         elif isinstance(m, nn.BatchNorm1d):
             bn = {"mean": jnp.asarray(m.running_mean.numpy()),
                   "var": jnp.asarray(m.running_var.numpy())}
@@ -611,5 +615,122 @@ def test_moco_v2queue_matches_reference_builder(tmp_path, predictor_on_keys):
         ema_ref = _moco_tower_to_params(ref.momentum_encoder, TINY)
         _assert_params_close(aux["momentum"]["encoder"],
                              ema_ref["encoder"], rtol=1e-5, atol=1e-6)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
+def test_moco_v3symmetric_matches_reference_builder(tmp_path):
+    """forward_v3_symmetric vs the reference builder_vit.MoCo_ViT: same
+    weights/views -> same symmetric loss and EMA'd momentum tower."""
+    import importlib
+
+    from mfvit_tpu.ssl import moco
+
+    _init_single_process_dist(tmp_path)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+        mod = importlib.import_module("moco.builder_vit")
+
+        torch.manual_seed(9)
+        dim, mlp_dim, T, m = 16, 32, 0.2, 0.95
+        args = types.SimpleNamespace(arch="vit_small")
+        ref = mod.MoCo_ViT(lambda num_classes: TorchViT(TINY, num_classes),
+                           args, dim=dim, mlp_dim=mlp_dim, T=T)
+        with torch.no_grad():
+            for p in ref.momentum_encoder.parameters():
+                p.add_(0.01 * torch.randn_like(p))
+
+        cfg = moco.MoCoConfig(dim=dim, mlp_dim=mlp_dim, T=T,
+                              loss="v3_symmetric", stop_grad_conv1=False)
+        state = {
+            "base": _moco_tower_to_params(ref.base_encoder, TINY),
+            "momentum": _moco_tower_to_params(ref.momentum_encoder, TINY),
+            "predictor": _torch_mlp_to_params(ref.predictor),
+            "queue": jnp.zeros((dim, cfg.K)),
+            "queue_ptr": jnp.zeros((), jnp.int32),
+        }
+
+        rng = np.random.default_rng(10)
+        x1 = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+        x2 = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+        loss_t = ref(torch.tensor(x1).permute(0, 3, 1, 2),
+                     torch.tensor(x2).permute(0, 3, 1, 2), m)
+
+        loss_j, aux = moco.forward_v3_symmetric(
+            state, jnp.asarray(x1), jnp.asarray(x2), m, cfg, TINY,
+            compute_dtype=jnp.float32)
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+        ema_ref = _moco_tower_to_params(ref.momentum_encoder, TINY)
+        _assert_params_close(aux["momentum"]["encoder"],
+                             ema_ref["encoder"], rtol=1e-5, atol=1e-6)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
+def test_moco_v2classic_matches_reference_builder(tmp_path):
+    """MoCoConfig.v2_classic vs the reference builder.py MoCo (resnet18,
+    2-layer bias-ful BN-free mlp head, no predictor, fixed m): same
+    logits/loss/queue."""
+    import importlib
+
+    from mfvit_tpu.nn import resnet
+    from mfvit_tpu.ssl import moco
+
+    _init_single_process_dist(tmp_path)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+        mod = importlib.import_module("moco.builder")
+
+        torch.manual_seed(11)
+        # builder.py's mlp surgery keys on __class__.__name__ == 'ResNet'
+        ResNet = type("ResNet", (_TorchResNet18,), {})
+        dim, K, m, T = 16, 32, 0.999, 0.07
+        ref = mod.MoCo(lambda num_classes: ResNet(num_classes),
+                       dim=dim, K=K, m=m, T=T, mlp=True)
+        with torch.no_grad():
+            for p in ref.encoder_k.parameters():
+                p.add_(0.01 * torch.randn_like(p))
+
+        rcfg = resnet.get_config("resnet18")
+        # the reference mlp hidden dim IS the backbone width (fc
+        # in_features = 512), not the v3-style 4096
+        cfg = moco.MoCoConfig.v2_classic(dim=dim, K=K, m=m, T=T,
+                                         mlp_dim=512)
+
+        def tower(enc):
+            sd = {k: v.detach().numpy() for k, v in enc.state_dict().items()
+                  if "num_batches_tracked" not in k and not k.startswith("fc.")}
+            return {"encoder": ckpt.torch_resnet_to_params(
+                        sd, rcfg, expect_fc=False),
+                    "projector": _torch_mlp_to_params(enc.fc)}
+
+        state = {
+            "base": tower(ref.encoder_q),
+            "momentum": tower(ref.encoder_k),
+            "predictor": {"layers": []},
+            "queue": jnp.asarray(np.copy(ref.queue.numpy())),
+            "queue_ptr": jnp.zeros((), jnp.int32),
+        }
+
+        rng = np.random.default_rng(12)
+        im_q = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+        im_k = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+        logits_t, labels_t = ref(torch.tensor(im_q).permute(0, 3, 1, 2),
+                                 torch.tensor(im_k).permute(0, 3, 1, 2))
+        loss_t = nn.CrossEntropyLoss()(logits_t, labels_t)
+
+        loss_j, aux = moco.forward_v2_queue(
+            state, jnp.asarray(im_q), jnp.asarray(im_k), m, cfg, rcfg,
+            compute_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(aux["logits"]), logits_t.detach().numpy(),
+            rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(aux["queue"]),
+                                   ref.queue.numpy(), rtol=1e-3, atol=1e-3)
     finally:
         torch.Tensor.cuda = orig_cuda
