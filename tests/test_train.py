@@ -194,3 +194,52 @@ def test_meters():
     pm.display(5)  # smoke
     assert metrics.top1_acc(np.eye(3), np.array([0, 1, 2])) == 1.0
     assert metrics.topk_acc(np.array([[0.1, 0.9, 0.5]]), np.array([2]), k=2) == 1.0
+
+
+def test_evaluator_metrics_match_reference_module():
+    """topk_acc / compute_auc_binary / recursive combiner utilities match
+    the ACTUAL reference training_tools modules imported from
+    /root/reference (evaluator.py:60-75, combiner.py:13-33)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+    from scipy.special import softmax
+    from training_tools import combiner as ref_combiner
+    from training_tools import evaluator as ref_eval
+
+    from mfvit_tpu.train import evaluator as our_eval
+    from mfvit_tpu.train import metrics
+
+    rng = np.random.default_rng(13)
+    logits = rng.normal(size=(40, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, 40)
+
+    for k in (1, 2):
+        ref = float(ref_eval.topk_acc(torch.tensor(logits),
+                                      torch.tensor(labels), k))
+        ours = metrics.topk_acc(logits, labels, k=k)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    blogits = rng.normal(size=(40, 2)).astype(np.float32)
+    blabels = rng.integers(0, 2, 40)
+    ref_auc = ref_eval.compute_auc_binary(torch.tensor(blogits),
+                                          torch.tensor(blabels))
+    our_auc = metrics.binary_auc(softmax(blogits, axis=1)[:, 1], blabels)
+    np.testing.assert_allclose(our_auc, ref_auc, rtol=1e-10)
+
+    # combiner: same nested accumulate/concat behavior
+    items = [{"a": rng.normal(size=(2, 3)), "n": {"b": rng.normal(size=2)}}
+             for _ in range(3)]
+    from collections import defaultdict
+    acc_ref, acc_ours = defaultdict(list), {}
+    for it in items:
+        ref_combiner.recursive_append(
+            acc_ref, {k: torch.tensor(v) if k != "n" else
+                      {"b": torch.tensor(v["b"])} for k, v in it.items()})
+        our_eval.recursive_append(acc_ours, it)
+    ref_out = ref_combiner.recursive_concat(acc_ref)
+    our_out = our_eval.recursive_concat(acc_ours)
+    np.testing.assert_allclose(our_out["a"], np.asarray(ref_out["a"]))
+    np.testing.assert_allclose(our_out["n"]["b"], np.asarray(ref_out["n"]["b"]))
