@@ -290,3 +290,41 @@ def test_device_prefetch():
     out = list(device_prefetch(iter(batches), depth=2))
     assert len(out) == 5
     np.testing.assert_array_equal(np.asarray(out[3][0]), 3.0)
+
+
+def test_eval_transform_matches_reference_torchvision_pipeline():
+    """The deterministic eval path (Resize -> CenterCrop -> ToTensor ->
+    Normalize) matches the ACTUAL reference get_transform_type pipeline
+    (image_transform.py:50-84) composed with real torchvision, bit-for-bit
+    through the uint8 stages and to float32 precision after normalize."""
+    import argparse
+    import sys
+
+    import pytest
+    from PIL import Image
+    tv = pytest.importorskip(
+        "torchvision", reason="torchvision not in this image; the uint8 "
+        "stages are separately proven bit-exact (resize/crop tests above)")
+    T = tv.transforms
+
+    sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+    from aihc_utils import image_transform as ref_it
+
+    from mfvit_tpu.data import host_transforms as ht
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 255, (250, 190, 3), np.uint8)
+
+    for maintain_ratio in (True, False):
+        for img_type in ("data", "Train_Mix"):
+            args = argparse.Namespace(maintain_ratio=maintain_ratio,
+                                      img_size=64, crop=56, rotate=0)
+            ref_tf = T.Compose(ref_it.get_transform_type(
+                args, training=False, img_type=img_type))
+            ref = ref_tf(Image.fromarray(img)).numpy()      # (C, H, W)
+
+            ours = ht.ChexpertTransform(
+                img_size=64, crop=56, img_type=img_type, training=False,
+                maintain_ratio=maintain_ratio)(img)          # (H, W, C)
+            np.testing.assert_allclose(ours.transpose(2, 0, 1), ref,
+                                       rtol=1e-5, atol=1e-5)
