@@ -113,6 +113,10 @@ class AverageMeter:
 
     def __str__(self):
         fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
+        # the reference newline-terminates the 'Loss' meter specifically
+        # (meters.py:32-37) — replicated for log-format parity
+        if self.name == "Loss":
+            fmtstr += "\n"
         return fmtstr.format(name=self.name, val=self.val, avg=self.avg)
 
 

@@ -243,3 +243,24 @@ def test_evaluator_metrics_match_reference_module():
     our_out = our_eval.recursive_concat(acc_ours)
     np.testing.assert_allclose(our_out["a"], np.asarray(ref_out["a"]))
     np.testing.assert_allclose(our_out["n"]["b"], np.asarray(ref_out["n"]["b"]))
+
+
+def test_meters_match_reference_module():
+    """AverageMeter math and formatting vs the ACTUAL reference
+    training_tools/meters.py (the 'Loss' newline quirk included)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+    from training_tools import meters as ref_meters
+
+    from mfvit_tpu.train.metrics import AverageMeter
+
+    for name in ("Loss", "Acc@1"):
+        ref = ref_meters.AverageMeter(name, ":6.4f")
+        ours = AverageMeter(name, ":6.4f")
+        for v, n in ((0.5, 2), (1.25, 3), (0.125, 1)):
+            ref.update(v, n)
+            ours.update(v, n)
+        assert ours.avg == ref.avg and ours.sum == ref.sum
+        assert ours.count == ref.count
+        assert str(ours) == str(ref)
