@@ -79,3 +79,69 @@ def test_gpt_fusion_reference_configs():
     assert gpt_fusion.VIT_CONFIG.joint_len == 2 * 196 + 2  # 14x14 + CLS x2
     assert gpt_fusion.RES18_CONFIG.joint_len == 2 * 49
     assert gpt_fusion.RES18_CONFIG.n_embd == 512
+
+
+def test_gpt_fusion_matches_reference_fuseattention():
+    """gpt_apply vs the ACTUAL reference fuseattention.GPT imported from
+    /root/reference (torchvision stubbed — only Encoder needs it):
+    identical weights and token streams -> identical joint-GPT outputs
+    (fuseattention.py:84-210, eval mode so dropouts are identity)."""
+    import sys
+    import types
+
+    import torch
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+    from model import fuseattention as ref_fa
+
+    torch.manual_seed(15)
+    B, n_embd, n_head, n_layer, anchors = 2, 32, 2, 2, 4
+    args = types.SimpleNamespace(arch="vit_small", pos_embed=True)
+    config = types.SimpleNamespace(n_views=1)
+    ref = ref_fa.GPT(n_embd=n_embd, n_head=n_head, block_exp=3,
+                     n_layer=n_layer, vert_anchors=anchors,
+                     horz_anchors=anchors, seq_len=1, embd_pdrop=0.0,
+                     attn_pdrop=0.0, resid_pdrop=0.0, args=args,
+                     config=config).eval()
+    with torch.no_grad():  # zero-init pos_emb would make the test vacuous
+        ref.pos_emb.normal_(0, 0.02)
+
+    cfg = gpt_fusion.GPTFusionConfig(
+        arch="vit", n_embd=n_embd, n_head=n_head, block_exp=3,
+        n_layer=n_layer, vert_anchors=anchors, horz_anchors=anchors)
+
+    def lin(mod):
+        return {"w": jnp.asarray(mod.weight.detach().numpy().T),
+                "b": jnp.asarray(mod.bias.detach().numpy())}
+
+    def ln(mod):
+        return {"scale": jnp.asarray(mod.weight.detach().numpy()),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    params = {
+        "pos_emb": jnp.asarray(ref.pos_emb.detach().numpy()),
+        "ln_f": ln(ref.ln_f),
+        "blocks": [{
+            "ln1": ln(b.ln1), "ln2": ln(b.ln2),
+            "q": lin(b.attn.query), "k": lin(b.attn.key),
+            "v": lin(b.attn.value), "proj": lin(b.attn.proj),
+            "fc1": lin(b.mlp[0]), "fc2": lin(b.mlp[2]),
+        } for b in ref.blocks],
+    }
+
+    rng = np.random.default_rng(16)
+    N = anchors * anchors + 1  # 17 tokens per stream -> joint 34
+    cxr = rng.normal(size=(B, N, n_embd)).astype(np.float32)
+    enh = rng.normal(size=(B, N, n_embd)).astype(np.float32)
+    with torch.no_grad():
+        out_c, out_e = ref(torch.tensor(cxr), torch.tensor(enh))
+    ref_joint = np.concatenate([out_c.numpy(), out_e.numpy()], axis=1)
+
+    joint = jnp.concatenate([jnp.asarray(cxr), jnp.asarray(enh)], axis=1)
+    ours = np.asarray(gpt_fusion.gpt_apply(params, joint, cfg))
+    np.testing.assert_allclose(ours, ref_joint, rtol=1e-4, atol=1e-5)
