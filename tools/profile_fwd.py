@@ -58,13 +58,12 @@ def blocks(params, x):
 
 
 def branch(params, imgs, final_ln=True):
-    x = blocks(params, stem(params, imgs))
     if final_ln:
-        tokens = layernorm(params["norm"], x)
-    else:
-        tokens = x
-    cls_out = tokens[:, 0].astype(jnp.float32)
-    return tokens, linear(params["head"], cls_out)
+        # production path (incl. the final-LN kernel epilogue)
+        return vit.apply(params, imgs, cfg, return_features=True)
+    x = blocks(params, stem(params, imgs))
+    cls_out = x[:, 0].astype(jnp.float32)
+    return x, linear(params["head"], cls_out)
 
 
 VARIANTS = {
