@@ -91,13 +91,19 @@ def test_gpt_fusion_matches_reference_fuseattention():
 
     import torch
 
-    if "torchvision" not in sys.modules:
+    stubbed = "torchvision" not in sys.modules
+    if stubbed:
         tv = types.ModuleType("torchvision")
         tv.models = types.ModuleType("torchvision.models")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tv.models
     sys.path.insert(0, "/root/reference/moco_pretraining/moco")
-    from model import fuseattention as ref_fa
+    try:
+        from model import fuseattention as ref_fa
+    finally:
+        if stubbed:
+            # don't leak the stub: it would defeat importorskip elsewhere
+            del sys.modules["torchvision"], sys.modules["torchvision.models"]
 
     torch.manual_seed(15)
     B, n_embd, n_head, n_layer, anchors = 2, 32, 2, 2, 4

@@ -305,6 +305,8 @@ def test_eval_transform_matches_reference_torchvision_pipeline():
     tv = pytest.importorskip(
         "torchvision", reason="torchvision not in this image; the uint8 "
         "stages are separately proven bit-exact (resize/crop tests above)")
+    if not hasattr(tv, "transforms"):  # a test stub, not the real package
+        pytest.skip("torchvision is stubbed in this session")
     T = tv.transforms
 
     sys.path.insert(0, "/root/reference/moco_pretraining/moco")
