@@ -182,15 +182,7 @@ def train_one_draw_fn(args, cfg):
         # sanity check: frozen backbone identical to the loaded checkpoint
         # (finetune :841-866)
         if pretrained_snapshot is not None:
-            flat_now = {str(k): v for k, v in
-                        jax.tree_util.tree_leaves_with_path(params)}
-            flat_pre = {str(k): v for k, v in
-                        jax.tree_util.tree_leaves_with_path(pretrained_snapshot)}
-            for k_, v in flat_pre.items():
-                if "head" in k_:
-                    continue
-                assert np.array_equal(np.asarray(flat_now[k_]), v), \
-                    f"sanity check failed at {k_}"
+            harness.verify_frozen(params, pretrained_snapshot)
             print("=> sanity check passed.")
         return result
 

@@ -188,18 +188,8 @@ def train_one_draw_fn(args, cfg):
         # :1013-1040)
         if frozen_snapshot is not None:
             for b in ("cxr", "enh"):
-                flat_now = {str(k): v for k, v in
-                            jax.tree_util.tree_leaves_with_path(params[b])}
-                for path, v in jax.tree_util.tree_leaves_with_path(
-                        frozen_snapshot[b]):
-                    # only the top-level classifier head trains
-                    if path and getattr(path[0], "key", None) == "head":
-                        continue
-                    if not np.array_equal(np.asarray(flat_now[str(path)]), v):
-                        raise ValueError(
-                            f"fusion sanity check failed: frozen branch "
-                            f"weight {b}{jax.tree_util.keystr(path)} "
-                            "changed during training")
+                harness.verify_frozen(params[b], frozen_snapshot[b],
+                                      label=f"{b}.")
             print("=> fusion sanity check passed.")
         return result
 

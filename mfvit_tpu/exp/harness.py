@@ -92,3 +92,25 @@ def run_draws(exp_folder: Path, ratios: Sequence, train_one_draw: Callable,
                     "test_acc": r.test_acc, **r.extra} for r in results],
                   f, indent=2, default=float)
     return results
+
+
+def verify_frozen(params, snapshot, label: str = "") -> None:
+    """Assert every non-head leaf of ``params`` is bit-identical to
+    ``snapshot`` — the reference's post-LP ``sanity_check`` (finetune
+    :841-866, fusion :1013-1040), a regression test for optimizer leakage
+    through a bad trainable mask. Raises ValueError (not ``assert``: must
+    survive ``python -O``). Only the TOP-LEVEL ``head`` subtree (the
+    classifier the LP protocol trains) is exempt."""
+    import jax
+    import numpy as np
+
+    flat_now = {str(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(params)}
+    for path, v in jax.tree_util.tree_leaves_with_path(snapshot):
+        if path and getattr(path[0], "key", None) == "head":
+            continue
+        if not np.array_equal(np.asarray(flat_now[str(path)]),
+                              np.asarray(v)):
+            raise ValueError(
+                f"sanity check failed: frozen weight {label}"
+                f"{jax.tree_util.keystr(path)} changed during training")

@@ -87,20 +87,53 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         out_of(b, qkvs[b], *pr[b])
 
 
-def supported(N: int, D: int, heads: int) -> bool:
-    """Do the fused attention kernels fit VMEM at these dims? Checks the
-    CB=1 forward working set and, for D > 512, the big-dim backward's
-    minimal (1-head) group buffers. vit.apply falls back to the unfused
-    XLA-math path when False — e.g. img-size >= 384 (N = 577) blows the
-    fp32 score buffer at any CB."""
+_MB = 1024 * 1024
+
+
+def _fwd_cb(B: int, N: int, D: int, heads: int):
+    """Largest feasible forward CB (None if even CB=1 blows VMEM).
+    Budget calibrated on-chip: ViT-S CB=4 (est 15.6 MB) compiles,
+    vit_base CB=4 (est 23.9 MB) OOMs at 19.6 MB actual. For D > 512 the
+    estimate runs HOT instead of conservative — vit_base CB=2 (est
+    14.3 MB) measured 16.65 MB scoped, an at-the-edge compile that passed
+    or OOMed depending on scheduling — so big dims get a stricter budget
+    (CB=1, est 9.5 MB)."""
     Np = -(-N // 128) * 128
     weights = (3 * D * D + D * D) * 2
-    per_img = (heads * N * Np * 4 + 3 * D * Np * 2 + 4 * N * D * 2)
-    if weights + per_img >= 16.5 * 1024 * 1024:
+    per_img = heads * N * Np * 4 + 3 * D * Np * 2 + 4 * N * D * 2
+    budget = (16.5 if D <= 512 else 13.0) * _MB
+    return next((c for c in (4, 2, 1)
+                 if B % c == 0 and weights + c * per_img < budget), None)
+
+
+def _bwd_cb(B: int, N: int, D: int, heads: int):
+    """Largest feasible STAGED-backward CB for the small-dim (D <= 512)
+    single-kernel backward: each in-flight image holds its fp32 softmax,
+    bf16 qkv/dqkv and fp32 x/g/dx rows; the fp32 weight-grad accumulators
+    and bf16 weights are fixed. Calibrated so ViT-S/224 keeps the
+    shipped CB=2 (est 14.4 MB) and e.g. N=577/heads=6 (est 20.7 MB even
+    at CB=1) returns None."""
+    Np = -(-N // 128) * 128
+    per_img = heads * N * Np * 4 + 6 * D * Np * 2 + 6 * N * D * 4
+    fixed = (3 * D * D + D * D) * 4 + (3 * D * D + D * D) * 2
+    return next((c for c in (2, 1)
+                 if B % c == 0 and fixed + c * per_img < 16 * _MB), None)
+
+
+def supported(N: int, D: int, heads: int) -> bool:
+    """Do the fused attention kernels — forward AND backward — fit VMEM
+    at these dims? Shares the exact budget formulas the kernel entry
+    points enforce, so vit.apply's gate and the kernels can never
+    disagree. False => vit.apply falls back to the unfused XLA-math path
+    (e.g. img-size >= 384: N=577 blows the fp32 score buffers)."""
+    if _fwd_cb(8, N, D, heads) is None:
         return False
-    if D > 512 and 4 * N * Np * 4 >= 4 * 1024 * 1024:
-        return False
-    return True
+    Np = -(-N // 128) * 128
+    if D > 512:
+        # big-dim backward: a single-head group's 4 fp32 (1, N, Np)
+        # buffers must fit the ~4 MB group budget
+        return 4 * N * Np * 4 < 4 * _MB
+    return _bwd_cb(8, N, D, heads) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -123,25 +156,17 @@ def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret,
     if cb:
         CB = cb
     else:
-        Np = -(-N // 128) * 128  # lane-padded
-        weights = (3 * D * D + D * D) * 2
-        per_img = (heads * N * Np * 4     # fp32 scores
-                   + 3 * D * Np * 2       # bf16 qkv_t
-                   + 4 * N * D * 2)       # in/out tiles (double-buffered)
-        # budget calibrated on-chip: ViT-S CB=4 (est 15.6 MB) compiles,
-        # vit_base CB=4 (est 23.9 MB) OOMs at 19.6 MB actual. For
-        # D > 512 the estimate runs HOT instead of conservative —
-        # vit_base CB=2 (est 14.3 MB) measured 16.65 MB scoped, an
-        # at-the-edge compile that passes or OOMs depending on scheduling
-        # — so big dims get a stricter budget (CB=1, est 9.5 MB).
-        budget = (16.5 if D <= 512 else 13.0) * 1024 * 1024
-        CB = next((c for c in (4, 2, 1)
-                   if B % c == 0 and weights + c * per_img < budget), None)
+        CB = _fwd_cb(B, N, D, heads)
         if CB is None:
-            raise ValueError(
-                f"fused attention kernel does not fit VMEM at N={N}, "
-                f"D={D} even at CB=1 — gate call sites on "
-                "fused_attn.supported() (vit.apply does)")
+            if interpret:
+                # interpreter mode has no VMEM constraint (off-chip
+                # debugging of big-dim configs)
+                CB = next(c for c in (4, 2, 1) if B % c == 0)
+            else:
+                raise ValueError(
+                    f"fused attention kernel does not fit VMEM at N={N}, "
+                    f"D={D} even at CB=1 — gate call sites on "
+                    "fused_attn.supported() (vit.apply does)")
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)
@@ -286,7 +311,15 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 def _fused_attn_bwd_impl(g, x, ln_s, ln_b, wqkv, bqkv, wproj, heads, scale,
                          interpret, has_bias=True):
     B, N, D = x.shape
-    CB = next(c for c in (2, 1) if B % c == 0)
+    CB = _bwd_cb(B, N, D, heads)
+    if CB is None:
+        if interpret:
+            CB = next(c for c in (2, 1) if B % c == 0)
+        else:
+            raise ValueError(
+                f"fused attention backward does not fit VMEM at N={N}, "
+                f"D={D} even at CB=1 — gate call sites on "
+                "fused_attn.supported() (vit.apply does)")
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)

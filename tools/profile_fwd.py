@@ -34,8 +34,8 @@ img = jax.random.normal(k4, (B, 224, 224, 3), jnp.bfloat16)
 
 
 def stem(params, imgs):
-    x = vit.patchify(imgs, cfg.patch)
-    x = linear(params["patch"], x)
+    # production formulation (transpose-free patch embed)
+    x = vit.patch_embed(params["patch"], imgs, cfg.patch)
     cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1)
     pos = posembed.sincos_2d(cfg.grid, cfg.grid, cfg.dim)
