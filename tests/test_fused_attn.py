@@ -123,6 +123,16 @@ def test_supported_gates_large_dims():
     assert fa.supported(197, 384, 12)
     assert fa.supported(197, 768, 12)
     assert not fa.supported(577, 384, 12)
+    # the gate covers the BACKWARD too: vit_small_ori@384 (N=577, H=6)
+    # fits the forward but its staged backward would blow VMEM
+    assert not fa.supported(577, 384, 6)
+    # and big-dim forwards that only fit under the lenient small-dim
+    # budget: vit_base@288 (N=325)
+    assert not fa.supported(325, 768, 12)
+    # shipped configs keep their calibrated CBs
+    assert fa._fwd_cb(512, 197, 384, 12) == 4
+    assert fa._bwd_cb(512, 197, 384, 12) == 2
+    assert fa._fwd_cb(64, 197, 768, 12) == 1
 
     cfg = vit.get_config("vit_small", img_size=384)
     params = vit.init(jax.random.PRNGKey(0), cfg, num_classes=3)
