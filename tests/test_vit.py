@@ -116,3 +116,18 @@ def test_patch_embed_matches_patchify_linear(rng):
         got = vit.patch_embed(p, imgs, 8)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_vit_pallas_parity_at_nonstandard_img_size(rng):
+    """The fused kernel path handles non-224 sizes (N = 101 here, an
+    odd sequence length padded to 128 lanes) identically to XLA math."""
+    cfg = vit.get_config("vit_small", img_size=160)
+    assert cfg.seq_len == 101
+    params = vit.init(rng, cfg, num_classes=3)
+    img = jax.random.normal(jax.random.PRNGKey(5), (2, 160, 160, 3))
+    a = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                  attn_backend="xla")
+    b = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                  attn_backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-3)
