@@ -30,7 +30,8 @@ from mfvit_tpu.nn import posembed
 from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, mlp, mlp_init
 from mfvit_tpu.ops import attention as attn_ops
 from mfvit_tpu.ops.attention import mhsa_from_packed
-from mfvit_tpu.ops.fused_attn import fused_attention_block
+from mfvit_tpu.ops.fused_attn import (fused_attention_block,
+                                      fused_attention_block_large)
 from mfvit_tpu.ops.fused_attn import supported as fused_attn_supported
 from mfvit_tpu.ops.fused_mlp import fused_mlp_block, fused_mlp_block_final_ln
 
@@ -248,11 +249,20 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     pallas_path = backend in ("pallas", "pallas_interpret")
     interp = backend == "pallas_interpret"
     inner_backend = attn_backend
-    if pallas_path and not interp and not fused_attn_supported(
+    use_large_attn = False
+    if pallas_path and not fused_attn_supported(
             cfg.seq_len, cfg.dim, cfg.heads):
-        # VMEM-infeasible dims (e.g. --img-size >= 384): unfused XLA math
-        pallas_path = False
-        inner_backend = "xla"
+        from mfvit_tpu.ops.fused_attn import qblocked_supported
+        if qblocked_supported(cfg.seq_len, cfg.dim, cfg.heads):
+            # long sequences (img-size >= 384): query-blocked scores keep
+            # the attention half in Pallas (XLA attention is ~5x slower
+            # in this layout); backward is XLA recompute
+            use_large_attn = True
+        elif not interp:
+            # VMEM-infeasible even blocked: unfused XLA math (interpret
+            # mode has no VMEM limits and keeps the standard kernel)
+            pallas_path = False
+            inner_backend = "xla"
     final_ln_done = False
     last_i = len(params["blocks"]) - 1
     for bi, blk in enumerate(params["blocks"]):
@@ -276,7 +286,9 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             # (2.35 vs 4.31 ms for the unfused chain — docs/PERF.md).
             bqkv = blk["qkv"].get(
                 "b", jnp.zeros((3 * cfg.dim,), jnp.float32))
-            x = fused_attention_block(
+            attn_fn = (fused_attention_block_large if use_large_attn
+                       else fused_attention_block)
+            x = attn_fn(
                 x, blk["norm1"]["scale"], blk["norm1"]["bias"],
                 blk["qkv"]["w"], bqkv, blk["proj"]["w"], blk["proj"]["b"],
                 cfg.heads, scale, backend == "pallas_interpret")

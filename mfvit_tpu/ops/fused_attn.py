@@ -200,6 +200,150 @@ def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret,
       wproj.astype(x.dtype), vec(bproj))
 
 
+# -------------------- query-blocked variant for long sequences ---------
+#
+# At img-size >= ~384 the full fp32 score tensor (heads, N, Np) blows the
+# VMEM budget at any CB (N=577, H=12: 17.7 MB), so `supported()` is
+# False and vit.apply would fall all the way back to XLA attention
+# (~5x slower in this layout). The query-blocked kernel keeps everything
+# of the standard kernel EXCEPT that scores/softmax/PV run over 128-query
+# row blocks — the flash-attention blocking idea, simplified: keys stay
+# VMEM-resident (a (3D, Np) bf16 qkv_t is small even at N=1025), so no
+# online-softmax running max/sum is needed, just a key-validity mask on
+# the padded tail. Backward = fp32 XLA recompute (these are off-nominal
+# research configs; the reference never exceeds 224px).
+
+_QB = 128  # query rows per score block (lane-aligned)
+
+
+def _kernel_qblocked(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                     wproj_ref, bproj_ref, o_ref, *, heads: int,
+                     scale: float, has_bias: bool, n_valid: int):
+    cb, Np, D = x_ref.shape  # x arrives zero-padded to a 128-multiple Np
+    Dh = D // heads
+    wq = wqkv_ref[...]
+    wp = wproj_ref[...]
+    # key mask: pad keys (columns >= n_valid) contribute -inf scores
+    key_ok = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1) < n_valid
+
+    for b in range(cb):
+        xb = x_ref[b]
+        xf = xb.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * lns_ref[...]
+             + lnb_ref[...]).astype(xb.dtype)
+        qkv_t = jax.lax.dot_general(
+            wq, h, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if has_bias:
+            qkv_t = qkv_t + bqkv_ref[...].T
+        qkv = qkv_t.astype(xb.dtype).reshape(3, heads, Dh, Np)
+        q = (qkv[0].astype(jnp.float32) * scale).astype(xb.dtype)
+        k = qkv[1]
+        v = qkv[2]
+        # each query block is projected and written immediately — no
+        # (D, Np) attention-output buffer or full-width proj temp lives
+        # past the block (the all-resident version hit 18 MB scoped)
+        for qb in range(Np // _QB):
+            sl = slice(qb * _QB, (qb + 1) * _QB)
+            q_blk = q[:, :, sl]                             # (H, Dh, QB)
+            s = jax.lax.dot_general(
+                q_blk, k, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)         # (H, QB, Np)
+            s = jnp.where(key_ok[None], s, -1e30)
+            mx = jnp.max(s, -1, keepdims=True)
+            p = jnp.exp(s - mx)
+            r = 1.0 / jnp.sum(p, -1, keepdims=True)
+            ob = jax.lax.dot_general(
+                v, p.astype(v.dtype), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)         # (H, Dh, QB)
+            ob = (ob * r.reshape(heads, 1, _QB)).reshape(
+                D, _QB).astype(xb.dtype)
+            y = jax.lax.dot_general(ob, wp, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[b, sl] = x_ref[b, sl] + (
+                y + bproj_ref[...]).astype(x_ref.dtype)
+
+
+def qblocked_supported(N: int, D: int, heads: int) -> bool:
+    """Feasibility of the query-blocked kernel at CB=1: resident qkv_t +
+    one (heads, _QB, Np) fp32 score block + weights."""
+    Np = -(-N // 128) * 128
+    weights = (3 * D * D + D * D) * 2
+    resident = (3 * D * Np * 2            # bf16 qkv_t
+                + heads * _QB * Np * 4 * 2  # fp32 score block + exp temp
+                + D * Np * 2 * 2          # o + staging
+                + 4 * Np * D * 2)         # in/out tiles
+    return weights + resident < 14 * _MB
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_attention_block_large(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                heads: int, scale: float,
+                                interpret: bool = False):
+    """Long-sequence fused attention half: same math as
+    ``fused_attention_block`` via query-blocked scores. Backward is fp32
+    XLA recompute."""
+    return _impl_qblocked(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads,
+                          scale, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _impl_qblocked(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale,
+                   interpret):
+    B, N, D = x.shape
+    Np = -(-N // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0))) if Np != N else x
+
+    def vec(v):
+        return v.astype(jnp.float32).reshape(1, -1)
+
+    const = lambda i: (0, 0)  # noqa: E731
+    kern = functools.partial(_kernel_qblocked, heads=heads, scale=scale,
+                             has_bias=True, n_valid=N)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D * 4 * D + 4 * B * heads * N * N *
+                  (D // heads),
+            bytes_accessed=2 * B * Np * D * x.dtype.itemsize + 4 * D * D * 4,
+            transcendentals=B * heads * Np * Np,
+        ),
+        interpret=interpret,
+    )(xp, vec(ln_s), vec(ln_b), wqkv.astype(x.dtype), vec(bqkv),
+      wproj.astype(x.dtype), vec(bproj))
+    return out[:, :N] if Np != N else out
+
+
+def _fwd_large(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale,
+               interpret):
+    out = _impl_qblocked(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads,
+                         scale, interpret)
+    return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+
+
+def _bwd_large(heads, scale, interpret, res, g):
+    return _bwd_xla_reference(heads, scale, interpret, res, g)
+
+
+fused_attention_block_large.defvjp(_fwd_large, _bwd_large)
+
+
 def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 wproj_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
                 dbproj_ref, ds_ref, db_ref, *, heads: int, scale: float,

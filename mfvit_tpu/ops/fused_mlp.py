@@ -299,13 +299,27 @@ def _bwd_kernel(g_ref, x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         dx_ref[b] = (g + dx_ln).astype(dx_ref.dtype)
 
 
+def _bwd_small_cb(B: int, N: int, D: int, Hd: int):
+    """Feasible CB for the single-kernel backward (None => route to the
+    row-tiled big-dim path, which is N-independent). Budget calibrated so
+    ViT-S/224 keeps the shipped CB=2 (est 17.3 MB with Mosaic liveness
+    reuse) while N=577 (est 22 MB at CB=1) routes away."""
+    per_img = N * (2 * D * 4 + 3 * Hd * 4 + (Hd + 2 * D) * 2)
+    fixed = 2 * D * Hd * 4 + 2 * D * Hd * 2
+    return next((c for c in (2, 1)
+                 if B % c == 0 and fixed + c * per_img < 18 * 1024 * 1024),
+                None)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_mlp_bwd_impl(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
     B, N, D = x.shape
     Hd = w1.shape[1]
     # the fp32 weight-grad accumulators share VMEM with everything else,
     # so CB stays small (ViT-S: 2 x 384*1536*4 = 4.7 MB accumulators)
-    CB = next(c for c in (2, 1) if B % c == 0)
+    CB = _bwd_small_cb(B, N, D, Hd)
+    if CB is None:
+        CB = next(c for c in (2, 1) if B % c == 0)  # interpret-mode path
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)
@@ -548,8 +562,12 @@ def _bwd(interpret: bool, res, g):
     dx-kernel + Hd-chunked dw-kernel otherwise (vit_base's 768x3072
     accumulators alone are 19 MB)."""
     x, ln_s, ln_b, w1, b1, w2, b2 = res
+    B, N, _ = x.shape
     D, Hd = w1.shape
-    if 2 * D * Hd * 4 > 8 * 1024 * 1024:
+    if (2 * D * Hd * 4 > 8 * 1024 * 1024
+            or (not interpret and _bwd_small_cb(B, N, D, Hd) is None)):
+        # big weight-grad accumulators (vit_base) OR long sequences
+        # (img-size >= 384): the row-tiled split backward is N-independent
         dx, dscale, dbias, dw1, db1, dw2, db2 = _fused_mlp_bwd_bigdim(
             g, x, ln_s, ln_b, w1, b1, w2, interpret)
     else:

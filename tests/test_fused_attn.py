@@ -134,9 +134,60 @@ def test_supported_gates_large_dims():
     assert fa._bwd_cb(512, 197, 384, 12) == 2
     assert fa._fwd_cb(64, 197, 768, 12) == 1
 
+    # img 384 now routes to the query-blocked long-sequence kernel
+    assert fa.qblocked_supported(577, 384, 12)
     cfg = vit.get_config("vit_small", img_size=384)
     params = vit.init(jax.random.PRNGKey(0), cfg, num_classes=3)
     img = jax.random.normal(jax.random.PRNGKey(1), (2, 384, 384, 3))
     out = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
-                    attn_backend="pallas")  # degrades to XLA, no crash
+                    attn_backend="pallas_interpret")  # blocked-kernel route
     assert out.shape == (2, 3)
+    ref = vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                    attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_qblocked_large_sequence_matches_xla():
+    """The query-blocked long-sequence kernel (values AND gradients via
+    its XLA-recompute backward) matches the unfused XLA formulation at a
+    padded, odd sequence length (N=325 -> Np=384)."""
+    from mfvit_tpu.ops import fused_attn as fa
+    from mfvit_tpu.nn.layers import layernorm
+
+    B, N, D, H = 2, 325, 64, 4
+    k = jax.random.split(jax.random.PRNGKey(3), 6)
+    x = jax.random.normal(k[0], (B, N, D), jnp.float32)
+    ln_s = 1 + 0.02 * jax.random.normal(k[1], (D,))
+    ln_b = 0.02 * jax.random.normal(k[2], (D,))
+    wqkv = 0.1 * jax.random.normal(k[3], (D, 3 * D))
+    bqkv = 0.02 * jax.random.normal(k[4], (3 * D,))
+    wproj = 0.1 * jax.random.normal(k[5], (D, D))
+    bproj = jnp.zeros((D,))
+    scale = (D // H) ** -0.5
+
+    def xla_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj):
+        h = layernorm({"scale": ln_s, "bias": ln_b}, x)
+        qkv = (h @ wqkv + bqkv).reshape(B, N, 3, H, D // H)
+        q, kk, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kk) * scale
+        p = jax.nn.softmax(s, -1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, D)
+        return x + o @ wproj + bproj
+
+    args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    ref = xla_ref(*args)
+    got = fa.fused_attention_block_large(*args, H, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) ** 2)
+
+    gp = jax.grad(loss(lambda *a: fa.fused_attention_block_large(
+        *a, H, scale, True)), argnums=tuple(range(7)))(*args)
+    gx = jax.grad(loss(xla_ref), argnums=tuple(range(7)))(*args)
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        sc = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / sc, b / sc, atol=2e-3)
