@@ -80,15 +80,21 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
 def get_arch(args):
     """Backbone config for -a: a ViTConfig, or a ResNetConfig for the
     torchvision-resnet MoCo arms the reference pretrain main accepts
-    (pretrain main :52-62)."""
+    (pretrain main :52-62).
+
+    The NETWORK input size is the post-crop size: the transform stack
+    resizes the shorter side to --img-size then crops to --crop (reference
+    image_transform.py:21-46); with crop != img_size the model must be
+    built at crop or the pos-embed add fails downstream."""
+    input_size = getattr(args, "crop", 0) or args.img_size
     if args.arch == "vit_test":  # tiny config for smoke tests
-        return vit_mod.ViTConfig("vit_test", img_size=args.img_size,
+        return vit_mod.ViTConfig("vit_test", img_size=input_size,
                                  patch=16, dim=32, depth=2, heads=2)
     if args.arch.startswith("resnet"):
         from mfvit_tpu.nn import resnet as resnet_mod
         return resnet_mod.get_config(args.arch,
                                      in_chans=getattr(args, "in_chans", 3))
-    return vit_mod.get_config(args.arch, args.img_size)
+    return vit_mod.get_config(args.arch, input_size)
 
 
 def get_vit_arch(args):
@@ -113,7 +119,8 @@ def compute_dtype(args):
 
 
 def ratio_tag(ratio: float):
-    return int(ratio) if float(ratio) == int(ratio) else ratio
+    from mfvit_tpu.data.manifest import ratio_tag as _rt
+    return _rt(ratio)
 
 
 def make_ssl_two_crops_loader(args, manifest_path: str, folder: str, *,
@@ -147,7 +154,7 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
     if args.aug_device:
         def tf(seed_off):
             return ht.CanvasTransform(img_size=args.img_size,
-                                      training=training,
+                                      crop=args.crop, training=training,
                                       maintain_ratio=args.maintain_ratio,
                                       seed=seed + seed_off)
         if fourch:

@@ -33,7 +33,28 @@ from mfvit_tpu.data.manifest import (Manifest, parse_chexpert, parse_covid,
 Transform = Callable[[np.ndarray], np.ndarray]
 
 
-class CovidDataset:
+def _apply_tf(tf: Transform, img: np.ndarray, ctx):
+    """Apply a transform, forwarding the per-sample determinism context
+    ((epoch, index[, view])) when the transform is seeded — draws then
+    depend only on (seed, ctx), independent of loader worker count. Plain
+    callables and unseeded transforms are called as-is."""
+    if getattr(tf, "seed", None) is not None:
+        return tf(img, ctx)
+    return tf(img)
+
+
+class _EpochMixin:
+    """Per-epoch augmentation context (BatchLoader calls ``set_epoch``
+    each epoch — the reference analogue is DistributedSampler.set_epoch,
+    pretrain main :450-451)."""
+
+    _epoch: int = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+
+class CovidDataset(_EpochMixin):
     """Single-flavor COVID dataset: (image, label)."""
 
     def __init__(self, folder: str, img_csv: str, transform: Transform):
@@ -45,10 +66,11 @@ class CovidDataset:
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.int32]:
         img = ht.decode_bgr(self.manifest.paths[idx])
-        return self.transform(img), self.manifest.labels[idx]
+        return (_apply_tf(self.transform, img, (self._epoch, idx)),
+                self.manifest.labels[idx])
 
 
-class CovidTwoCropsDataset:
+class CovidTwoCropsDataset(_EpochMixin):
     """TwoCropsTransform semantics on the host (loader.py:13-22 +
     Dataset_covid :130-133): the SAME decoded image through the transform
     TWICE -> (q, k, label). Used for the BYOL/moco-v2 aug settings whose
@@ -64,10 +86,12 @@ class CovidTwoCropsDataset:
 
     def __getitem__(self, idx: int):
         img = ht.decode_bgr(self.manifest.paths[idx])
-        return self.transform(img), self.transform(img), self.manifest.labels[idx]
+        return (_apply_tf(self.transform, img, (self._epoch, idx, 0)),
+                _apply_tf(self.transform, img, (self._epoch, idx, 1)),
+                self.manifest.labels[idx])
 
 
-class CovidPairedDataset:
+class CovidPairedDataset(_EpochMixin):
     """Jointly-indexed CXR+Enh pairs: (img_cxr, img_enh, label).
 
     Per-branch transforms are independent (the reference applies separate
@@ -87,11 +111,12 @@ class CovidPairedDataset:
     def __getitem__(self, idx: int):
         cxr = ht.decode_bgr(self.manifest.paths[idx])
         enh = ht.decode_bgr(self.manifest.paths_alt[idx])
-        return (self.transform_cxr(cxr), self.transform_enh(enh),
+        return (_apply_tf(self.transform_cxr, cxr, (self._epoch, idx)),
+                _apply_tf(self.transform_enh, enh, (self._epoch, idx)),
                 self.manifest.labels[idx])
 
 
-class Covid4chDataset:
+class Covid4chDataset(_EpochMixin):
     """CXR gray channel + 3 Enh channels stacked to 4 (loader.py:182:
     ``np.concatenate((cxr, enh), axis=2)[:, :, 2:]``)."""
 
@@ -107,10 +132,11 @@ class Covid4chDataset:
         cxr = ht.decode_bgr(self.manifest.paths[idx])
         enh = ht.decode_bgr(self.manifest.paths_alt[idx])
         img = np.concatenate((cxr, enh), axis=2)[:, :, 2:]
-        return self.transform(img), self.manifest.labels[idx]
+        return (_apply_tf(self.transform, img, (self._epoch, idx)),
+                self.manifest.labels[idx])
 
 
-class CovidEnhCxrDataset:
+class CovidEnhCxrDataset(_EpochMixin):
     """Cross-modal contrastive pairing: q = Enh view, k = CXR view, each
     with its own transform (Dataset_covid_LEnh_RCXR_2norms, :201-258).
 
@@ -126,23 +152,26 @@ class CovidEnhCxrDataset:
         self.transform_cxr = transform_cxr
         self.transform_enh = transform_enh
         self.per_enh = per_enh
+        self.seed = seed
         self._rng = random.Random(seed)
 
     def __len__(self):
         return len(self.manifest)
 
     def __getitem__(self, idx: int):
+        ctx = (self._epoch, idx)
+        r = ht._rng_for(self.seed, self._rng, ctx)
         cxr = ht.decode_bgr(self.manifest.paths[idx])
-        if self.per_enh >= 1.0 or self._rng.random() <= self.per_enh:
+        if self.per_enh >= 1.0 or r.random() <= self.per_enh:
             enh = ht.decode_bgr(self.manifest.paths_alt[idx])
-            q = self.transform_enh(enh)
+            q = _apply_tf(self.transform_enh, enh, ctx)
         else:
-            q = self.transform_cxr(cxr)
-        k = self.transform_cxr(cxr)
+            q = _apply_tf(self.transform_cxr, cxr, ctx)
+        k = _apply_tf(self.transform_cxr, cxr, ctx + (1,))
         return q, k, self.manifest.labels[idx]
 
 
-class ChexpertDataset:
+class ChexpertDataset(_EpochMixin):
     """CheXpert CSV dataset with disease-column label lookup."""
 
     def __init__(self, folder: str, img_csv: str, transform: Transform,
@@ -155,10 +184,11 @@ class ChexpertDataset:
 
     def __getitem__(self, idx: int):
         img = ht.decode_bgr(self.manifest.paths[idx])
-        return self.transform(img), self.manifest.labels[idx]
+        return (_apply_tf(self.transform, img, (self._epoch, idx)),
+                self.manifest.labels[idx])
 
 
-class ChexpertMixDataset:
+class ChexpertMixDataset(_EpochMixin):
     """CheXpert paired CXR/Enh with probabilistic flavor swap.
 
     ``mode='norm1'`` (Dataset_Mix_norm1, loader.py:332-411): with
@@ -179,27 +209,30 @@ class ChexpertMixDataset:
         self.transform_enh = transform_enh
         self.per_enh = per_enh
         self.mode = mode
+        self.seed = seed
         self._rng = random.Random(seed)
 
     def __len__(self):
         return len(self.m_cxr)
 
     def __getitem__(self, idx: int):
+        ctx = (self._epoch, idx)
+        r = ht._rng_for(self.seed, self._rng, ctx)
         cxr = ht.decode_bgr(self.m_cxr.paths[idx])
         if self.mode == "norm1":
             enh = ht.decode_bgr(self.m_enh.paths[idx])
-            if self._rng.random() <= self.per_enh:
+            if r.random() <= self.per_enh:
                 cxr = enh
             else:
                 enh = cxr
-            q = self.transform_cxr(cxr)
-            k = self.transform_cxr(enh)  # norm1: one normalization (:344)
+            q = _apply_tf(self.transform_cxr, cxr, ctx)
+            k = _apply_tf(self.transform_cxr, enh, ctx + (1,))  # norm1: one normalization (:344)
         else:
-            if self._rng.random() < 1.0 - self.per_enh:
-                q = self.transform_cxr(cxr)
-                k = self.transform_cxr(cxr)
+            if r.random() < 1.0 - self.per_enh:
+                q = _apply_tf(self.transform_cxr, cxr, ctx)
+                k = _apply_tf(self.transform_cxr, cxr, ctx + (1,))
             else:
                 enh = ht.decode_bgr(self.m_enh.paths[idx])
-                q = self.transform_cxr(cxr)
-                k = self.transform_enh(enh)
+                q = _apply_tf(self.transform_cxr, cxr, ctx)
+                k = _apply_tf(self.transform_enh, enh, ctx + (1,))
         return q, k, self.m_cxr.labels[idx]

@@ -76,9 +76,27 @@ def center_crop(img: np.ndarray, ch: int, cw: int) -> np.ndarray:
 def random_crop(img: np.ndarray, ch: int, cw: int,
                 rng: random.Random) -> np.ndarray:
     h, w = img.shape[:2]
+    if ch > h or cw > w:
+        # torchvision RandomCrop raises on undersized input (no silent
+        # smaller-than-requested output)
+        raise ValueError(f"random_crop: requested ({ch}, {cw}) from a "
+                         f"({h}, {w}) image")
     top = rng.randint(0, h - ch) if h > ch else 0
     left = rng.randint(0, w - cw) if w > cw else 0
     return img[top:top + ch, left:left + cw]
+
+
+def _rng_for(seed, shared_rng: random.Random, ctx):
+    """Per-sample RNG derivation. With a seed AND a caller-supplied
+    context (the loader threads (epoch, index)), draws depend only on
+    (seed, ctx) — deterministic regardless of loader worker count,
+    unlike a shared Mersenne state consumed by pool threads in scheduling
+    order. Falls back to the shared sequential RNG otherwise."""
+    if seed is None or ctx is None:
+        return shared_rng
+    # int-tuple hashes are deterministic across processes (PYTHONHASHSEED
+    # only perturbs str/bytes hashing)
+    return random.Random(hash((seed,) + tuple(ctx)))
 
 
 def rotate(img: np.ndarray, angle_deg: float) -> np.ndarray:
@@ -117,20 +135,28 @@ class ChexpertTransform:
     def __post_init__(self):
         self._rng = random.Random(self.seed)
         self.mean, self.std = norm_stats(self.img_type)
+        if self.training and self.crop > self.img_size:
+            # after the resize the shorter side is img_size; torchvision
+            # RandomCrop would raise on the undersized input — fail at
+            # construction instead of producing wrong-sized batches
+            raise ValueError(f"crop ({self.crop}) > img_size "
+                             f"({self.img_size}) cannot be satisfied by "
+                             "the training RandomCrop")
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
+    def __call__(self, img: np.ndarray, ctx=None) -> np.ndarray:
+        r = _rng_for(self.seed, self._rng, ctx)
         if self.maintain_ratio:
             img = resize_shorter(img, self.img_size)
         else:
             img = resize_square(img, self.img_size)
         if self.training:
-            if self.hflip and self._rng.random() < 0.5:
+            if self.hflip and r.random() < 0.5:
                 img = img[:, ::-1]
             deg = float(self.rotate_deg)
             if deg:
-                img = rotate(img, self._rng.uniform(-deg, deg))
+                img = rotate(img, r.uniform(-deg, deg))
             if self.crop:
-                img = random_crop(img, self.crop, self.crop, self._rng)
+                img = random_crop(img, self.crop, self.crop, r)
         elif self.crop:
             img = center_crop(img, self.crop, self.crop)
         if self.normalize:
@@ -234,8 +260,8 @@ class ByolTransform:
     def __post_init__(self):
         self._rng = random.Random(self.seed)
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
-        r = self._rng
+    def __call__(self, img: np.ndarray, ctx=None) -> np.ndarray:
+        r = _rng_for(self.seed, self._rng, ctx)
         img = random_resized_crop(img, self.img_size, r,
                                   scale=(self.crop_min, 1.0))
         if r.random() < 0.8:
@@ -274,8 +300,8 @@ class MoCoV3Transform:
         self._rng = random.Random(self.seed)
         self.mean, self.std = norm_stats(self.img_type)
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
-        r = self._rng
+    def __call__(self, img: np.ndarray, ctx=None) -> np.ndarray:
+        r = _rng_for(self.seed, self._rng, ctx)
         if self.training:
             img = random_resized_crop(img, self.img_size, r,
                                       scale=(self.crop_min, 1.0))
@@ -297,25 +323,33 @@ class CanvasTransform:
     """Canvas producer for the device-fused augmentation path.
 
     Host does the variable-shape part only: decode + maintain-ratio resize
-    + crop of the long axis to a fixed square (random position in training,
-    center in eval). Flip/rotation/normalization then run fused on-device
-    with static shapes (device_aug.augment_batch). Output: uint8
-    (img_size, img_size, 3).
+    to ``img_size`` + crop to a fixed (crop, crop) square (random position
+    in training, center in eval; crop defaults to img_size).
+    Flip/rotation/normalization then run fused on-device with static
+    shapes (device_aug.augment_batch). Output: uint8 (crop, crop, 3).
     """
 
     img_size: int = 224
+    crop: int = 0  # 0 => img_size
     training: bool = False
     maintain_ratio: bool = True
     seed: Optional[int] = None
 
     def __post_init__(self):
         self._rng = random.Random(self.seed)
+        if not self.crop:
+            self.crop = self.img_size
+        if self.training and self.crop > self.img_size:
+            raise ValueError(f"crop ({self.crop}) > img_size "
+                             f"({self.img_size}) cannot be satisfied by "
+                             "the training RandomCrop")
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
+    def __call__(self, img: np.ndarray, ctx=None) -> np.ndarray:
+        r = _rng_for(self.seed, self._rng, ctx)
         s = self.img_size
         img = resize_shorter(img, s) if self.maintain_ratio else resize_square(img, s)
         if self.training:
-            img = random_crop(img, s, s, self._rng)
+            img = random_crop(img, self.crop, self.crop, r)
         else:
-            img = center_crop(img, s, s)
+            img = center_crop(img, self.crop, self.crop)
         return np.ascontiguousarray(img)

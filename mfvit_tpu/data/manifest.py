@@ -71,13 +71,17 @@ def parse_chexpert(img_csv: str, folder: str, disease_name: str) -> Manifest:
     """CheXpert-style CSV manifest (loader.py:39-63)."""
     paths, labels = [], []
     with open(img_csv) as f:
-        header = f.readline().rstrip("\n").split(",")
+        header = f.readline().rstrip("\r\n").split(",")
         idx = [i for i, h in enumerate(header) if h == disease_name]
         if not idx:
             raise ValueError(f"disease {disease_name!r} not in header {header}")
         col = idx[0]
         for line in f:
-            fields = line.rstrip("\n").split(",")
+            # rstrip CRLF too (a CRLF-saved CSV would otherwise crash the
+            # label map on a last-column disease); skip blank/short lines
+            fields = line.rstrip("\r\n").split(",")
+            if len(fields) <= max(col, 1):
+                continue
             paths.append(os.path.join(folder, fields[1]))
             labels.append(int(CHEXPERT_LABEL_MAP[fields[col]]))
     return Manifest(paths, np.asarray(labels, np.int32))
@@ -93,9 +97,15 @@ def split_manifest_path(root: str, ratio: float, draw: int, *,
     main :438 uses the float verbatim, e.g. ``0.1_labeled_train_0.txt``;
     ratio 1 -> ``1``).
     """
-    r = int(ratio) if float(ratio) == int(ratio) else ratio
     kind = "labeled" if labeled else "unlabeled"
-    return os.path.join(root, f"{r}_{kind}_train_{draw}.txt")
+    return os.path.join(root, f"{ratio_tag(ratio)}_{kind}_train_{draw}.txt")
+
+
+def ratio_tag(ratio: float):
+    """The reference's filename/folder formatting of a labeled fraction:
+    integral ratios print as ints (``train_1_0``), fractional verbatim
+    (``0.1_labeled_train_0.txt`` — finetune main :438)."""
+    return int(ratio) if float(ratio) == int(ratio) else ratio
 
 
 def eval_manifest_paths(root: str) -> tuple:

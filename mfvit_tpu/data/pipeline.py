@@ -64,6 +64,10 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator:
         idx = self._epoch_indices()
+        if hasattr(self.ds, "set_epoch"):
+            # per-epoch augmentation context (worker-count-independent
+            # determinism — datasets._EpochMixin)
+            self.ds.set_epoch(self.epoch)
         self.epoch += 1
         n = len(idx)
         batches = []
@@ -84,13 +88,19 @@ class BatchLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.ds.__getitem__, b))
-                    q.put(_collate(samples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.ds.__getitem__, b))
+                        q.put(_collate(samples))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                # propagate into the consumer — a dead producer without a
+                # sentinel would block q.get() forever (a corrupt image
+                # would silently hang the training job)
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -99,6 +109,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -118,12 +130,7 @@ def device_prefetch(it: Iterator, *, sharding=None, depth: int = 2):
     TPU-side replacement for DistributedSampler's per-rank slicing.
     """
     def put(batch):
-        if sharding is None:
-            return jax.tree.map(jnp_device_put, batch)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-
-    def jnp_device_put(x):
-        return jax.device_put(x)
 
     buf = []
     for batch in it:

@@ -330,3 +330,79 @@ def test_eval_transform_matches_reference_torchvision_pipeline():
                 maintain_ratio=maintain_ratio)(img)          # (H, W, C)
             np.testing.assert_allclose(ours.transpose(2, 0, 1), ref,
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_loader_deterministic_across_worker_counts(tmp_path):
+    """Seeded augmented batches are identical regardless of num_workers
+    (per-sample RNG derivation) and vary across epochs."""
+    from mfvit_tpu.data import pipeline
+
+    root = tmp_path / "imgs"
+    os.makedirs(root / "data")
+    rng = np.random.default_rng(0)
+    names, labels = [], []
+    for i in range(12):
+        fn = f"i_{i}.png"
+        cv2.imwrite(str(root / "data" / fn),
+                    rng.integers(0, 255, (40, 50, 3), np.uint8))
+        names.append(fn)
+        labels.append(i % 3)
+    man = tmp_path / "m.txt"
+    mf.write_covid_manifest(str(man), str(root), names, labels)
+
+    def batches(workers):
+        tf = ht.ChexpertTransform(img_size=32, crop=28, training=True,
+                                  seed=7)
+        ds = datasets.CovidDataset("data", str(man), tf)
+        loader = pipeline.BatchLoader(ds, 4, shuffle=True, seed=0,
+                                      drop_last=True, num_workers=workers)
+        return [np.asarray(b[0]) for b in loader]
+
+    a, b, c = batches(1), batches(4), batches(4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(b, c):
+        np.testing.assert_array_equal(x, y)
+
+    # second epoch reshuffles AND redraws augmentation
+    tf = ht.ChexpertTransform(img_size=32, crop=28, training=True, seed=7)
+    ds = datasets.CovidDataset("data", str(man), tf)
+    loader = pipeline.BatchLoader(ds, 4, shuffle=False, seed=0,
+                                  drop_last=True, num_workers=2)
+    e0 = [np.asarray(b[0]) for b in loader]
+    e1 = [np.asarray(b[0]) for b in loader]
+    assert any(not np.array_equal(x, y) for x, y in zip(e0, e1))
+
+
+def test_loader_propagates_worker_exceptions(tmp_path):
+    """A failing __getitem__ raises in the consumer instead of hanging."""
+    from mfvit_tpu.data import pipeline
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise FileNotFoundError("corrupt image")
+            return np.zeros((4, 4, 3), np.uint8), np.int32(0)
+
+    loader = pipeline.BatchLoader(Broken(), 4, shuffle=False,
+                                  num_workers=2)
+    with pytest.raises(FileNotFoundError):
+        for _ in loader:
+            pass
+
+
+def test_crop_guards_and_canvas_crop():
+    """crop > img_size fails loudly (torchvision RandomCrop semantics);
+    CanvasTransform honors a crop smaller than img_size."""
+    with pytest.raises(ValueError):
+        ht.ChexpertTransform(img_size=32, crop=48, training=True)
+    with pytest.raises(ValueError):
+        ht.CanvasTransform(img_size=32, crop=48, training=True)
+    img = np.random.default_rng(0).integers(0, 255, (50, 60, 3), np.uint8)
+    out = ht.CanvasTransform(img_size=32, crop=24, training=True, seed=0)(img)
+    assert out.shape == (24, 24, 3)
+    out = ht.CanvasTransform(img_size=32, crop=24, training=False)(img)
+    assert out.shape == (24, 24, 3)
