@@ -64,7 +64,12 @@ class BestKeeper:
         Returns True when the metric improved."""
         if save_last:
             save(os.path.join(self.folder, self.last_name), tree)
-        better = (self.best is None or
+        if not np.isfinite(metric):
+            # a NaN metric (e.g. AUC over a single-class val split) must
+            # never become 'best': NaN comparisons are all False, which
+            # would lock model_best at the NaN epoch forever
+            return False
+        better = (self.best is None or not np.isfinite(self.best) or
                   (metric > self.best if self.mode == "max" else metric < self.best))
         if better:
             self.best = metric
@@ -140,7 +145,8 @@ def load_moco_pretrained_backbone(path: str, cfg) -> Params:
     # drop the projector MLP that replaced `head` during pretraining
     sd = {k: v for k, v in sd.items() if not k.startswith("head.")}
     params = torch_vit_to_params(sd, cfg, expect_head=False)
-    assert "head" not in params
+    if "head" in params:  # not assert: must survive python -O
+        raise ValueError("MoCo surgery left a classifier head in place")
     return params
 
 

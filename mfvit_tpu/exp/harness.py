@@ -66,31 +66,42 @@ def run_draws(exp_folder: Path, ratios: Sequence, train_one_draw: Callable,
 
     results: List[DrawResult] = []
     all_auc, all_acc = [], []
-    for s in ratios:
-        ratio_auc, ratio_acc = [], []
-        for it in range(draws_for(s, iterations)):
-            sub = storage.get_storage_sub_folder(exp_folder, s, it)
-            writer = None
-            if SummaryWriter is not None:
-                writer = SummaryWriter(
-                    os.path.join(exp_folder, f"{tb_prefix}_{s}_{it}"))
-            res = train_one_draw(s, it, sub, writer)
-            if writer is not None:
-                writer.close()
-            results.append(res)
-            ratio_auc.append(res.test_auc)
-            ratio_acc.append(res.test_acc)
-        all_auc.append(ratio_auc)
-        all_acc.append(ratio_acc)
 
-    with open(Path(exp_folder) / "all_test_auc.pickle", "wb") as f:
-        pickle.dump(all_auc, f)
-    with open(Path(exp_folder) / "all_test_acc.pickle", "wb") as f:
-        pickle.dump(all_acc, f)
-    with open(Path(exp_folder) / "results.json", "w") as f:
-        json.dump([{"ratio": r.ratio, "draw": r.draw, "test_auc": r.test_auc,
-                    "test_acc": r.test_acc, **r.extra} for r in results],
-                  f, indent=2, default=float)
+    def dump():
+        # written after EVERY draw (and in the crash path): a failure in
+        # draw N must not discard days of completed-draw metrics
+        with open(Path(exp_folder) / "all_test_auc.pickle", "wb") as f:
+            pickle.dump(all_auc, f)
+        with open(Path(exp_folder) / "all_test_acc.pickle", "wb") as f:
+            pickle.dump(all_acc, f)
+        with open(Path(exp_folder) / "results.json", "w") as f:
+            json.dump([{"ratio": r.ratio, "draw": r.draw,
+                        "test_auc": r.test_auc, "test_acc": r.test_acc,
+                        **r.extra} for r in results],
+                      f, indent=2, default=float)
+
+    try:
+        for s in ratios:
+            ratio_auc, ratio_acc = [], []
+            all_auc.append(ratio_auc)
+            all_acc.append(ratio_acc)
+            for it in range(draws_for(s, iterations)):
+                sub = storage.get_storage_sub_folder(exp_folder, s, it)
+                writer = None
+                if SummaryWriter is not None:
+                    writer = SummaryWriter(
+                        os.path.join(exp_folder, f"{tb_prefix}_{s}_{it}"))
+                try:
+                    res = train_one_draw(s, it, sub, writer)
+                finally:
+                    if writer is not None:
+                        writer.close()
+                results.append(res)
+                ratio_auc.append(res.test_auc)
+                ratio_acc.append(res.test_acc)
+                dump()
+    finally:
+        dump()
     return results
 
 

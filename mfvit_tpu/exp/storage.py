@@ -23,8 +23,16 @@ def get_storage_folder(exp_name: str, exp_type: str,
     fname = f"{exp_name}_{exp_type}_{datestr}"
     if jobid is not None:
         fname += f"_SLURM{jobid}"
-    path = Path(root or DEFAULT_ROOT) / fname
-    os.makedirs(path)
+    base = Path(root or DEFAULT_ROOT) / fname
+    path = base
+    for k in range(1, 1000):
+        try:
+            os.makedirs(path)
+            break
+        except FileExistsError:
+            # second-granularity timestamps collide when several runs
+            # launch back-to-back outside SLURM — suffix instead of dying
+            path = Path(f"{base}_{k}")
     print(f"Experiment storage is at {path}")
     return path
 

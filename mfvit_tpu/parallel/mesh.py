@@ -116,8 +116,9 @@ def make_moco_parallel_step(cfg: moco_mod.MoCoConfig,
                                         compute_dtype=compute_dtype)
 
     def step(state, opt_state, im_q, im_k, m):
-        if cfg.loss == "v2_queue":
-            assert cfg.K % im_q.shape[0] == 0, (
+        if cfg.loss == "v2_queue" and cfg.K % im_q.shape[0] != 0:
+            # not assert: the queue invariant must survive python -O
+            raise ValueError(
                 f"global batch {im_q.shape[0]} must divide the queue "
                 f"length K={cfg.K} (builder reference :99)")
         wrapped = shard_map(
@@ -136,7 +137,17 @@ def jit_data_parallel(step_fn, mesh: Mesh, *, donate: Sequence[int] = (0, 1),
                       n_state_args: int = 2, axis: str = "data"):
     """jit a supervised step with explicit shardings: the first
     ``n_state_args`` arguments replicated, the rest batch-sharded. XLA's
-    partitioner inserts the gradient all-reduce (DDP equivalent)."""
+    partitioner inserts the gradient all-reduce (DDP equivalent).
+
+    ``step_fn`` must be a RAW (un-jitted) function — the factory-built
+    steps (train.steps.make_*_steps) are already jitted with
+    donate_argnums and shard correctly when fed sharded arrays directly
+    (tests/test_parallel.py does exactly that); wrapping them here would
+    nest jit and silently drop the inner donation."""
+    if isinstance(step_fn, jax.stages.Wrapped):
+        raise TypeError(
+            "jit_data_parallel wraps raw step functions; the factory "
+            "steps are already jitted — pass them sharded arrays instead")
     rep = replicated(mesh)
     shd = batch_sharded(mesh, axis)
 

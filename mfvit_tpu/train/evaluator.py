@@ -39,9 +39,12 @@ METRIC_FNS: Dict[str, Callable] = {
     "acc": metrics_mod.top1_acc,
     "top1": metrics_mod.top1_acc,
     "top5": lambda lg, lb: metrics_mod.topk_acc(lg, lb, k=5),
-    "precision": lambda lg, lb: metrics_mod.precision_recall_f1(lg, lb)["precision"],
-    "recall": lambda lg, lb: metrics_mod.precision_recall_f1(lg, lb)["recall"],
-    "f1": lambda lg, lb: metrics_mod.precision_recall_f1(lg, lb)["f1"],
+    "precision": lambda lg, lb: metrics_mod.precision_recall_f1(
+        lg, lb, lg.shape[-1])["precision"],
+    "recall": lambda lg, lb: metrics_mod.precision_recall_f1(
+        lg, lb, lg.shape[-1])["recall"],
+    "f1": lambda lg, lb: metrics_mod.precision_recall_f1(
+        lg, lb, lg.shape[-1])["f1"],
 }
 
 
@@ -69,6 +72,10 @@ class Evaluator:
                 logits, labels = logits[:take], labels[:take]
                 seen += take
             recursive_append(acc, {"logits": logits, "labels": labels})
+        if not acc:
+            raise ValueError(
+                "Evaluator got an empty loader (0 batches) — check the "
+                "val/test manifest paths")
         out = recursive_concat(acc)
         results = {name: METRIC_FNS[name](out["logits"], out["labels"])
                    for name in self.metric_names}

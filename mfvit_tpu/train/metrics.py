@@ -28,6 +28,11 @@ def binary_auc(scores: np.ndarray, labels: np.ndarray) -> float:
     equal to the Mann-Whitney U statistic)."""
     scores = np.asarray(scores, np.float64)
     labels = np.asarray(labels)
+    if np.isnan(scores).any():
+        # NaN comparisons are all False, which would silently yield a
+        # plausible-looking 0.0 for diverged (NaN-logit) models; sklearn
+        # raises here — propagate NaN so divergence stays visible
+        return float("nan")
     pos = scores[labels == 1]
     neg = scores[labels != 1]
     if len(pos) == 0 or len(neg) == 0:

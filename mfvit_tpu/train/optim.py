@@ -84,8 +84,12 @@ def pretrain_cosine_lr(init_lr: float, epochs: int, warmup_epochs: int,
     def sched(step):
         e = step / steps_per_epoch
         warm = init_lr * e / max(warmup_epochs, 1e-8)
+        # max(..., 1e-8): epochs == warmup_epochs would divide by zero —
+        # eager ZeroDivisionError, or silent NaN lr under jit (jnp.where
+        # evaluates both branches)
         cos = init_lr * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * (e - warmup_epochs) / (epochs - warmup_epochs)))
+            1.0 + jnp.cos(jnp.pi * (e - warmup_epochs)
+                          / max(epochs - warmup_epochs, 1e-8)))
         return jnp.where(e < warmup_epochs, warm, cos)
 
     return sched

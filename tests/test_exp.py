@@ -130,3 +130,27 @@ def test_pretrain_resume(tmp_path):
     # resume from the final checkpoint; one extra epoch
     pre.main(argv + ["--resume", str(ck), "--epochs", "3",
                      "--exp-name", "resumed"])
+
+
+def test_bestkeeper_never_locks_on_nan(tmp_path):
+    """A NaN metric (single-class val split AUC) must not become 'best'
+    and must not block later finite improvements."""
+    from mfvit_tpu.exp.checkpoint import BestKeeper
+
+    bk = BestKeeper(str(tmp_path))
+    tree = {"w": np.zeros(2, np.float32)}
+    assert not bk.update(float("nan"), tree)
+    assert bk.update(0.5, tree)
+    assert not bk.update(float("nan"), tree)
+    assert bk.update(0.9, tree)
+
+
+def test_storage_folder_collision_suffixes(tmp_path, monkeypatch):
+    """Two same-second experiment launches get distinct folders instead
+    of FileExistsError."""
+    from mfvit_tpu.exp import storage
+
+    monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+    a = storage.get_storage_folder("exp", "ft", root=str(tmp_path))
+    b = storage.get_storage_folder("exp", "ft", root=str(tmp_path))
+    assert a != b and a.exists() and b.exists()

@@ -264,3 +264,43 @@ def test_meters_match_reference_module():
         assert ours.avg == ref.avg and ours.sum == ref.sum
         assert ours.count == ref.count
         assert str(ours) == str(ref)
+
+
+def test_metric_fns_respect_num_classes():
+    """Evaluator METRIC_FNS pass the logit width everywhere — a 5-class
+    problem must not be macro-averaged over 3 classes."""
+    from mfvit_tpu.train.evaluator import METRIC_FNS
+
+    rng = np.random.default_rng(20)
+    labels = rng.integers(0, 5, 60)
+    logits = np.full((60, 5), -5.0, np.float32)
+    # classes 0-2 perfect; 3 and 4 always swapped
+    pred = np.where(labels == 3, 4, np.where(labels == 4, 3, labels))
+    logits[np.arange(60), pred] = 5.0
+    f1 = METRIC_FNS["f1"](logits, labels)
+    recall = METRIC_FNS["recall"](logits, labels)
+    assert f1 < 0.95 and recall < 0.95  # the 3-class default reported 1.0
+
+
+def test_pretrain_cosine_lr_warmup_equals_epochs():
+    from mfvit_tpu.train import optim
+
+    sched = optim.pretrain_cosine_lr(0.1, epochs=10, warmup_epochs=10,
+                                     steps_per_epoch=5)
+    assert np.isfinite(float(sched(50)))  # was ZeroDivisionError / NaN
+
+
+def test_nan_logits_give_nan_auc():
+    from mfvit_tpu.train import metrics
+
+    logits = np.full((8, 3), np.nan, np.float32)
+    labels = np.arange(8) % 3
+    assert np.isnan(metrics.macro_ovr_auc(logits, labels, 3))
+
+
+def test_evaluator_rejects_empty_loader():
+    from mfvit_tpu.train.evaluator import Evaluator
+
+    ev = Evaluator(lambda b: b, metric_names=("auc",))
+    with pytest.raises(ValueError, match="empty loader"):
+        ev.evaluate([])
