@@ -89,7 +89,8 @@ def apply(params: Params, vit_tokens: jnp.ndarray,
             cal_qkv = jnp.concatenate([cal_q, xl], axis=1)
             cal = cal_q + _ca_1q(layer, cal_qkv, heads, dim_head)
             cal_out = linear(layer["g_ls"], cal)           # (B, 1, small)
-    x = layernorm(params["head_norm"], cal_out[:, 0].astype(jnp.float32))
+    x = layernorm(params["head_norm"], cal_out[:, 0].astype(jnp.float32),
+                  eps=1e-5)  # torch nn.LayerNorm default (crossvit.py:201)
     return linear(params["head"], x)
 
 

@@ -126,10 +126,16 @@ def batchnorm(p: Params, x: jnp.ndarray, *, training: bool,
             ex2 = jax.lax.pmean(ex2, axis_name)
         mean = ex
         var = ex2 - jnp.square(ex)
+        # torch semantics: normalize the batch with the BIASED variance but
+        # update running_var with the UNBIASED (n/(n-1)) estimator
+        n = x.shape[0]
+        if axis_name is not None:
+            n = n * jax.lax.axis_size(axis_name)
+        var_unb = var * (n / max(n - 1, 1))
         new_state = dict(
             p,
             mean=momentum * p["mean"] + (1 - momentum) * mean,
-            var=momentum * p["var"] + (1 - momentum) * var,
+            var=momentum * p["var"] + (1 - momentum) * var_unb,
         )
     else:
         mean, var = p["mean"], p["var"]

@@ -97,8 +97,16 @@ def _bn(p: Params, x: jnp.ndarray, *, training: bool,
             ex = jax.lax.pmean(ex, axis_name)
             ex2 = jax.lax.pmean(ex2, axis_name)
         var = ex2 - jnp.square(ex)
+        # unbiased running-var update (torch parity); the BATCH is
+        # normalized with the biased variance, as torch does
+        n = 1
+        for d in x.shape[:-1]:
+            n *= d
+        if axis_name is not None:
+            n = n * jax.lax.axis_size(axis_name)
+        var_unb = var * (n / max(n - 1, 1))
         newp = dict(p, mean=momentum * p["mean"] + (1 - momentum) * ex,
-                    var=momentum * p["var"] + (1 - momentum) * var)
+                    var=momentum * p["var"] + (1 - momentum) * var_unb)
         mean = ex
     else:
         mean, var, newp = p["mean"], p["var"], p
@@ -204,12 +212,13 @@ def apply(params: Params, x: jnp.ndarray, cfg: ResNetConfig, *,
             nstage.append(nblk)
         new["stages"].append(nstage)
 
+    if "fc" in params:
+        new["fc"] = params["fc"]
     if return_featmap:
         return x, new
     feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
     if "fc" in params:
         out = feat @ params["fc"]["w"] + params["fc"]["b"]
-        new["fc"] = params["fc"]
     else:
         out = feat
     return out, new

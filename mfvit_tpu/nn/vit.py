@@ -99,8 +99,11 @@ def init(key, cfg: ViTConfig, num_classes: int = 0,
          head_init_std: float = 0.01, in_chans: int = 3) -> Params:
     """Build the fp32 parameter pytree.
 
-    Follows MoCo-v3 ViT init: xavier-uniform qkv and patch projection,
-    trunc-normal(0.02) elsewhere; classifier head N(0, 0.01) to match the
+    Follows MoCo-v3 ViT init: the fused qkv matrix is xavier-uniform with
+    Q, K, V treated as SEPARATE matrices (vits.py: ``val = sqrt(6. /
+    (shape[0]//3 + shape[1]))`` -> limit sqrt(3/dim), sqrt(2)x larger than
+    naive xavier over (dim, 3*dim)); patch projection xavier-uniform; CLS
+    token normal(std=1e-6); classifier head N(0, 0.01) to match the
     reference finetune head init (finetune main :290-296). ``in_chans=4``
     supports the stacked CXR+Enh input variant (builder_4ch.py:36-41).
     """
@@ -133,7 +136,8 @@ def init(key, cfg: ViTConfig, num_classes: int = 0,
         patch = linear_init(keys[0], patch_in, cfg.dim, dist="xavier_uniform")
     p: Params = {
         "patch": patch,
-        "cls": initzr.trunc_normal(keys[1], (1, 1, cfg.dim), std=0.02),
+        # MoCo-v3 vits.py: nn.init.normal_(self.cls_token, std=1e-6)
+        "cls": initzr.normal(keys[1], (1, 1, cfg.dim), std=1e-6),
         "norm": layernorm_init(cfg.dim),
         "blocks": [],
     }
@@ -141,10 +145,17 @@ def init(key, cfg: ViTConfig, num_classes: int = 0,
         p["pos"] = initzr.trunc_normal(keys[2], (1, cfg.seq_len, cfg.dim), std=0.02)
     for i in range(cfg.depth):
         bk = jax.random.split(keys[3 + i], 4)
+        # qkv: xavier bound over the per-matrix fan (vits.py treats
+        # Q/K/V separately): limit sqrt(6/(dim+dim))
+        import math as _math
+        qkv_limit = _math.sqrt(6.0 / (cfg.dim + cfg.dim))
+        qkv = {"w": jax.random.uniform(bk[0], (cfg.dim, 3 * cfg.dim),
+                                       jnp.float32, -qkv_limit, qkv_limit)}
+        if cfg.qkv_bias:
+            qkv["b"] = initzr.zeros((3 * cfg.dim,))
         p["blocks"].append({
             "norm1": layernorm_init(cfg.dim),
-            "qkv": linear_init(bk[0], cfg.dim, 3 * cfg.dim,
-                               dist="xavier_uniform", bias=cfg.qkv_bias),
+            "qkv": qkv,
             "proj": linear_init(bk[1], cfg.dim, cfg.dim),
             "norm2": layernorm_init(cfg.dim),
             "mlp": mlp_init(bk[2], cfg.dim, cfg.dim * cfg.mlp_ratio),
@@ -192,45 +203,62 @@ def patch_embed(p: Params, imgs: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, dim)
 
 
-def _conv_stem(p: Params, imgs: jnp.ndarray) -> jnp.ndarray:
-    """MoCo-v3 ConvStem forward (inference-mode BN with running stats —
-    the reference only ever trains these archs under MoCo where the BN
-    stats ride the EMA/momentum machinery; finetune/fusion run frozen or
-    with stats treated as constants)."""
+def _conv_stem(p: Params, imgs: jnp.ndarray, *, training: bool = False,
+               axis_name: str | None = None):
+    """MoCo-v3 ConvStem forward. ``training=True`` runs BatchNorm with
+    batch statistics and returns updated running stats (the reference
+    trains these BNs under DDP+SyncBN during MoCo pretraining; the
+    running stats are state threaded through moco's aux, like the resnet
+    towers). Eval uses the stored running stats. Returns (tokens,
+    new_patch_params)."""
+    from mfvit_tpu.nn.resnet import _bn
+
     x = imgs
+    new_stem = []
     for layer in p["stem"]:
         x = jax.lax.conv_general_dilated(
             x, layer["conv"]["w"].astype(x.dtype), (2, 2),
             [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32).astype(x.dtype)
-        bn = layer["bn"]
-        xf = x.astype(jnp.float32)
-        xf = (xf - bn["mean"]) * jax.lax.rsqrt(bn["var"] + 1e-5)
-        x = jax.nn.relu((xf * bn["scale"] + bn["bias"]).astype(x.dtype))
+        y, new_bn = _bn(layer["bn"], x, training=training,
+                        axis_name=axis_name)
+        x = jax.nn.relu(y).astype(x.dtype)
+        new_stem.append(dict(layer, bn=new_bn))
     x = jax.lax.conv_general_dilated(
         x, p["proj"]["w"].astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32).astype(x.dtype)
     x = x + p["proj"]["b"].astype(x.dtype)
     B, H, W, C = x.shape
-    return x.reshape(B, H * W, C)
+    return x.reshape(B, H * W, C), dict(p, stem=new_stem)
 
 
 def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
           compute_dtype=jnp.bfloat16, attn_backend: str | None = None,
-          stop_grad_conv1: bool = False, return_features: bool = False):
+          stop_grad_conv1: bool = False, return_features: bool = False,
+          bn_training: bool = False, bn_axis_name: str | None = None):
     """Forward pass.
 
     Returns logits (B, num_classes) fp32 if the params carry a head, else
     the CLS embedding (B, dim). With ``return_features=True`` returns
     ``(tokens, out)`` where tokens are ALL post-norm tokens (B, N+1, dim).
+    ``bn_training=True`` (ConvStem archs only) runs the stem BatchNorms
+    with batch statistics and appends the updated patch params as a final
+    return element — MoCo threads them through its state like the resnet
+    towers' BN stats.
     """
     B = imgs.shape[0]
     patch_p = params["patch"]
-    if stop_grad_conv1:
+    if stop_grad_conv1 and not cfg.conv_stem:
+        # MoCo-v3 applies --stop-grad-conv1 only to the plain PatchEmbed
+        # projection; ConvStem archs train their full stem (vits.py
+        # gates on isinstance(patch_embed, PatchEmbed))
         patch_p = jax.tree.map(jax.lax.stop_gradient, patch_p)
+    new_patch_p = patch_p
     if cfg.conv_stem:
-        x = _conv_stem(patch_p, imgs.astype(compute_dtype))  # (B, N, dim)
+        x, new_patch_p = _conv_stem(
+            patch_p, imgs.astype(compute_dtype),
+            training=bn_training, axis_name=bn_axis_name)  # (B, N, dim)
     elif "wq" in patch_p:
         x = patchify(imgs.astype(compute_dtype), cfg.patch)
         x = linear(patch_p, x)  # int8-quantized patch projection
@@ -329,6 +357,7 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
         out = linear(params["head"], cls_out)  # fp32 logits
     else:
         out = cls_out
-    if return_features:
-        return tokens, out
-    return out
+    rets = (tokens, out) if return_features else (out,)
+    if bn_training and cfg.conv_stem:
+        rets = rets + (new_patch_p,)
+    return rets if len(rets) > 1 else rets[0]

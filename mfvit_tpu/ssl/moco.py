@@ -198,10 +198,21 @@ def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
             axis_name: Optional[str], compute_dtype,
             stop_grad_conv1: bool) -> Tuple[jnp.ndarray, Params]:
     if isinstance(backbone_cfg, vit_mod.ViTConfig):
-        feats = vit_mod.apply(tower["encoder"], imgs, backbone_cfg,
-                              compute_dtype=compute_dtype,
-                              stop_grad_conv1=stop_grad_conv1)  # (B, w) fp32
-        new_enc = tower["encoder"]
+        if backbone_cfg.conv_stem and training:
+            # ConvStem BNs train with batch stats; the updated running
+            # stats thread through aux like the resnet towers' BN state
+            feats, new_patch = vit_mod.apply(
+                tower["encoder"], imgs, backbone_cfg,
+                compute_dtype=compute_dtype,
+                stop_grad_conv1=stop_grad_conv1,
+                bn_training=training, bn_axis_name=axis_name)
+            new_enc = dict(tower["encoder"], patch=new_patch)
+        else:
+            feats = vit_mod.apply(
+                tower["encoder"], imgs, backbone_cfg,
+                compute_dtype=compute_dtype,
+                stop_grad_conv1=stop_grad_conv1)  # (B, w) fp32
+            new_enc = tower["encoder"]
     else:
         from mfvit_tpu.nn import resnet as resnet_mod
         feats, new_enc = resnet_mod.apply(

@@ -11,12 +11,16 @@ import jax.numpy as jnp
 from mfvit_tpu.models import fusion
 from mfvit_tpu.nn import vit
 
+# Regenerated 2026-08-17: vit.init now matches MoCo-v3 vits.py exactly
+# (qkv xavier bound over the per-matrix fan = sqrt(3/dim), CLS token
+# normal(std=1e-6) instead of trunc_normal(0.02)) — a deliberate
+# init-parity fix, not numeric drift in the model math.
 GOLDEN_VIT = np.array([
-    [-0.014143640175461769, -0.08462328463792801, -0.021885765716433525],
-    [-0.024859586730599403, 0.015461243689060211, 0.03353291004896164]])
+    [-0.04716959223151207, -0.07544247806072235, -0.0040445635095238686],
+    [-0.12429721653461456, 0.01549664419144392, 0.10771092772483826]])
 GOLDEN_FUSED = np.array([
-    [-0.08485689759254456, -0.16199424862861633, 0.32581454515457153],
-    [-0.25197914242744446, -0.271626353263855, 0.1494489163160324]])
+    [-0.09786687791347504, -0.2903493642807007, 0.43848717212677],
+    [-0.46936529874801636, -0.24124327301979065, 0.30901283025741577]])
 
 
 def test_golden_logits():

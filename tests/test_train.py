@@ -304,3 +304,25 @@ def test_evaluator_rejects_empty_loader():
     ev = Evaluator(lambda b: b, metric_names=("auc",))
     with pytest.raises(ValueError, match="empty loader"):
         ev.evaluate([])
+
+
+def test_batchnorm_unbiased_running_var():
+    """torch parity: batch normalized with biased variance, running_var
+    updated with the unbiased (n/(n-1)) estimator."""
+    import torch
+
+    from mfvit_tpu.nn.layers import batchnorm, batchnorm_init
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(10, 6)).astype(np.float32)
+    p = batchnorm_init(6)
+    y, newp = batchnorm(p, jnp.asarray(x), training=True, momentum=0.9)
+
+    tbn = torch.nn.BatchNorm1d(6, momentum=0.1)
+    ty = tbn(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(y), ty.detach().numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(newp["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(newp["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)

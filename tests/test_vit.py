@@ -131,3 +131,38 @@ def test_vit_pallas_parity_at_nonstandard_img_size(rng):
                   attn_backend="pallas_interpret")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_qkv_init_matches_mocov3_bound(rng):
+    """vits.py treats Q/K/V separately: uniform limit sqrt(6/(2*dim)),
+    sqrt(2)x larger than naive xavier over (dim, 3*dim)."""
+    cfg = vit.get_config("vit_small")
+    p = vit.init(rng, cfg)
+    w = np.asarray(p["blocks"][0]["qkv"]["w"])
+    limit = np.sqrt(6.0 / (2 * cfg.dim))
+    assert np.abs(w).max() <= limit + 1e-6
+    assert np.abs(w).max() > limit * 0.9  # actually fills the range
+    assert float(np.abs(np.asarray(p["cls"])).max()) < 1e-4  # std=1e-6
+
+
+def test_conv_stem_bn_trains_under_moco(rng):
+    """vit_conv_* ConvStem BNs run batch stats in MoCo training and the
+    running stats thread through the state (previously frozen at init)."""
+    from mfvit_tpu.ssl import moco
+
+    cfg = vit.ViTConfig("t", img_size=32, patch=16, dim=32, depth=1,
+                        heads=2, conv_stem=True, qkv_bias=False)
+    mcfg = moco.MoCoConfig(dim=8, mlp_dim=16, K=16, stop_grad_conv1=True)
+    state = moco.init(rng, mcfg, cfg)
+    q = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    loss, aux = moco.forward_v2_queue(state, q, q, 0.99, mcfg, cfg,
+                                      compute_dtype=jnp.float32)
+    before = np.asarray(
+        state["base"]["encoder"]["patch"]["stem"][0]["bn"]["mean"])
+    after = np.asarray(
+        aux["base"]["encoder"]["patch"]["stem"][0]["bn"]["mean"])
+    assert not np.allclose(before, after)
+    # momentum tower stats evolve from its own forward too
+    after_m = np.asarray(
+        aux["momentum"]["encoder"]["patch"]["stem"][0]["bn"]["mean"])
+    assert not np.allclose(before, after_m)
