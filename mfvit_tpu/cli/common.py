@@ -231,13 +231,16 @@ def maybe_replicate(tree, mesh, n_dev: int):
     return pmesh.replicate(tree, mesh)
 
 
-def make_eval_runner(args, img_types, forward):
+def make_eval_runner(args, img_types, forward, *, mesh=None, n_dev: int = 1):
     """Shared eval loop for the CLIs (finetune/fuse/infer) built on
     train.evaluator.Evaluator: device-aug each flavor in eval mode, run the
     jitted forward, trim pad_final wrapping, compute AUC/top-1.
 
     ``img_types``: one flavor per image field in the batch (all fields but
-    the last, which is labels). ``forward(*imgs) -> logits``."""
+    the last, which is labels). ``forward(*imgs) -> logits``. With a
+    multi-device mesh the eval batches are sharded over 'data' like the
+    training batches (otherwise GSPMD replicates the forward on every
+    device and eval gets no speedup)."""
     from mfvit_tpu.data import device_aug
     from mfvit_tpu.train.evaluator import Evaluator
 
@@ -247,12 +250,13 @@ def make_eval_runner(args, img_types, forward):
         *imgs, labels = batch
         xs = []
         for img, flavor in zip(imgs, img_types):
+            x = maybe_shard(jnp.asarray(img), mesh, n_dev)
             if args.aug_device:
                 xs.append(device_aug.augment_batch(
-                    jax.random.PRNGKey(0), jnp.asarray(img),
+                    jax.random.PRNGKey(0), x,
                     img_type=flavor, training=False, out_dtype=dt))
             else:
-                xs.append(jnp.asarray(img, dt))
+                xs.append(x.astype(dt))
         return forward(*xs), labels
 
     return Evaluator(batch_forward, metric_names=["auc", "acc"])

@@ -56,14 +56,25 @@ def load_backbone(args, cfg) -> Optional[dict]:
         return None
     if args.pretrained.endswith((".pth", ".pth.tar", ".pt")):
         return ckpt_mod.load_moco_pretrained_backbone(args.pretrained, cfg)
-    like = vit_mod.init(jax.random.PRNGKey(0), cfg, num_classes=0)
-    return ckpt_mod.restore(args.pretrained, like=like)
+    # orbax: accept either a bare encoder tree or a pretrain checkpoint
+    # ({'state': <moco state>, 'epoch': ...} — cli/pretrain.py) and do the
+    # base-encoder extraction (the orbax twin of the torch
+    # module.base_encoder surgery, finetune :326-333)
+    tree = ckpt_mod.restore(args.pretrained)
+    if isinstance(tree, dict) and "state" in tree:
+        tree = tree["state"]
+    if isinstance(tree, dict) and "base" in tree:
+        tree = tree["base"]["encoder"]
+    import jax.numpy as _jnp
+    return jax.tree.map(_jnp.asarray, tree)
 
 
-def evaluate(eval_step, params, loader, args, *, n_total: int):
+def evaluate(eval_step, params, loader, args, *, n_total: int,
+             mesh=None, n_dev: int = 1):
     """Run the eval phase; returns (auc, acc, loss, logits, labels)."""
     runner = common.make_eval_runner(
-        args, [args.folder], lambda x: eval_step(params, x))
+        args, [args.folder], lambda x: eval_step(params, x),
+        mesh=mesh, n_dev=n_dev)
     res = runner.evaluate(loader, n_total=n_total)
     logits, labels = res["logits"], res["labels"]
     loss = float(np.mean(
@@ -150,7 +161,8 @@ def train_one_draw_fn(args, cfg):
                     params, opt_state, x, labels)
                 ep_loss.update(float(loss), int(labels.shape[0]))
             val_auc, val_acc, val_loss, _, _ = evaluate(
-                eval_step, params, vl, args, n_total=n_val)
+                eval_step, params, vl, args, n_total=n_val,
+                mesh=mesh, n_dev=n_dev)
             if writer is not None:
                 writer.add_scalar("train/loss", ep_loss.avg, epoch)
                 writer.add_scalar("val/auc", val_auc, epoch)
@@ -162,7 +174,8 @@ def train_one_draw_fn(args, cfg):
             # test on val-AUC improvement, keep best-AUC / best-ACC ckpts
             if best.update(val_auc, params):
                 t_auc, t_acc, _, _, _ = evaluate(eval_step, params, sl, args,
-                                                 n_total=n_test)
+                                                 n_total=n_test,
+                                                 mesh=mesh, n_dev=n_dev)
                 result.test_auc = t_auc
                 result.extra["test_acc_at_best_auc"] = t_acc
                 if writer is not None:
@@ -173,7 +186,8 @@ def train_one_draw_fn(args, cfg):
             # :581-601) — result.test_acc is the acc-branch test acc
             if best_acc.update(val_acc, params, save_last=False):
                 a_auc, a_acc, _, _, _ = evaluate(eval_step, params, sl, args,
-                                                 n_total=n_test)
+                                                 n_total=n_test,
+                                                 mesh=mesh, n_dev=n_dev)
                 result.test_acc = a_acc
                 result.extra["test_auc_at_best_acc"] = a_auc
                 if writer is not None:
@@ -191,6 +205,13 @@ def train_one_draw_fn(args, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.resume:
+        # matching the reference: its finetune resume path is fully
+        # commented out and unreachable (finetune :400-429) — reject
+        # loudly instead of silently restarting from scratch
+        raise SystemExit("--resume is not implemented for finetune "
+                         "(the reference's resume path is dead code too); "
+                         "restart the draw or load via --pretrained")
     cfg = common.get_vit_arch(args)
     exp_type = "finetune" if args.semi_supervised else "linear_probe"
     folder = storage.get_storage_folder(args.exp_name, exp_type,

@@ -69,10 +69,12 @@ def load_branch(path: str, cfg, ratio, draw,
     return ckpt_mod.restore(path, like=like)
 
 
-def evaluate(eval_step, params, loader, args, *, n_total: int):
+def evaluate(eval_step, params, loader, args, *, n_total: int,
+             mesh=None, n_dev: int = 1):
     runner = common.make_eval_runner(
         args, ["data", "Train_Mix"],
-        lambda xc, xe: eval_step(params, xc, xe))
+        lambda xc, xe: eval_step(params, xc, xe),
+        mesh=mesh, n_dev=n_dev)
     res = runner.evaluate(loader, n_total=n_total)
     return res["auc"], res["acc"]
 
@@ -170,6 +172,7 @@ def train_one_draw_fn(args, cfg):
                     params, opt_state, xc, xe, labels)
                 ep_loss.update(float(loss), int(labels.shape[0]))
             val_auc, val_acc = evaluate(eval_step, params, vl, args,
+                                        mesh=mesh, n_dev=n_dev,
                                         n_total=n_val)
             if writer is not None:
                 writer.add_scalar("train/loss", ep_loss.avg, epoch)
@@ -180,6 +183,7 @@ def train_one_draw_fn(args, cfg):
                   f"acc {val_acc:.4f}")
             if best.update(val_auc, params):
                 t_auc, t_acc = evaluate(eval_step, params, sl, args,
+                                        mesh=mesh, n_dev=n_dev,
                                         n_total=n_test)
                 result.test_auc, result.test_acc = t_auc, t_acc
 
@@ -198,6 +202,13 @@ def train_one_draw_fn(args, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.resume:
+        # matching the reference: its finetune resume path is fully
+        # commented out and unreachable (finetune :400-429) — reject
+        # loudly instead of silently restarting from scratch
+        raise SystemExit("--resume is not implemented for fuse "
+                         "(the reference's resume path is dead code too); "
+                         "restart the draw or load via --pretrained")
     cfg = common.get_vit_arch(args)
     folder = storage.get_storage_folder(args.exp_name, "mfvit_ca",
                                         root=args.storage_root)

@@ -23,7 +23,6 @@ from mfvit_tpu.data import device_aug
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.models import fusion as fusion_mod
 from mfvit_tpu.nn import vit as vit_mod
-from mfvit_tpu.ops import quant
 from mfvit_tpu.train import metrics
 
 
@@ -56,9 +55,14 @@ def main(argv=None):
     }
     params = ckpt_mod.restore(args.checkpoint, like=like)
     if args.int8:
+        # in-kernel W8A8 (ops/fused_int8.py): quantization stays on VMEM
+        # tiles and the fused kernel set keeps running — the XLA-level
+        # quant path (ops/quant.py) disables every fused kernel and is
+        # measured SLOWER than bf16 (docs/PERF.md)
+        from mfvit_tpu.ops.fused_int8 import quantize_vit_for_serving
         params = dict(params,
-                      cxr=quant.quantize_vit_params(params["cxr"]),
-                      enh=quant.quantize_vit_params(params["enh"]))
+                      cxr=quantize_vit_for_serving(params["cxr"]),
+                      enh=quantize_vit_for_serving(params["enh"]))
 
     dt = common.compute_dtype(args)
 
@@ -81,7 +85,8 @@ def main(argv=None):
         xe = common.maybe_shard(xe, mesh, n_dev)
         return fwd(params, xc, xe)
 
-    runner = common.make_eval_runner(args, ["data", "Train_Mix"], forward)
+    runner = common.make_eval_runner(args, ["data", "Train_Mix"], forward,
+                                     mesh=mesh, n_dev=n_dev)
     t0 = time.perf_counter()
     res = runner.evaluate(loader, n_total=n_total)
     wall = time.perf_counter() - t0

@@ -96,12 +96,11 @@ def train_one_draw_fn(args, vit_cfg):
                                           seed=draw)
         steps_per_epoch = max(len(tl), 1)
 
-        mesh = pmesh.make_mesh(args.mesh_devices)
-        n_dev = mesh.shape["data"]
-        pmesh.assert_divisible(args.batch_size, mesh)
-        if cfg.loss == "v2_queue":
-            assert cfg.K % args.batch_size == 0, \
-                f"K={cfg.K} must be divisible by batch {args.batch_size}"
+        mesh, n_dev = common.setup_mesh(args)
+        if cfg.loss == "v2_queue" and cfg.K % args.batch_size != 0:
+            # not assert: the queue invariant must survive python -O
+            raise ValueError(
+                f"K={cfg.K} must be divisible by batch {args.batch_size}")
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
                                        cos=args.cos, entry="pretrain")

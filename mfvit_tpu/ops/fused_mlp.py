@@ -502,6 +502,12 @@ def _fused_mlp_bwd_bigdim(g, x, ln_s, ln_b, w1, b1, w2, interpret: bool):
     )(gp, xp, vec(ln_s), vec(ln_b), w1b, vec(b1), w2b)
 
     # chunk Hd so each chunk's fp32 accumulators fit VMEM (<= ~4 MB each)
+    if Hd % 128:
+        # the fallback chunking below assumes 128-aligned hidden dims;
+        # a non-multiple would leave tail accumulator columns unwritten
+        raise ValueError(
+            f"big-dim MLP backward requires hidden dim % 128 == 0 "
+            f"(got {Hd})")
     K = 1
     while (2 * D * (Hd // K) * 4 > 4 * 1024 * 1024
            or Hd % K or (Hd // K) % 128):

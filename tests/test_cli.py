@@ -231,3 +231,41 @@ def test_vit_only_clis_reject_resnet_and_4ch():
     cfg = common.get_vit_arch(
         argparse.Namespace(arch="vit_small", img_size=224, in_chans=3))
     assert cfg.dim == 384
+
+
+def test_finetune_fuse_reject_resume():
+    """--resume matches the reference: its finetune resume path is dead
+    code (finetune :400-429) — reject loudly, don't silently restart."""
+    from mfvit_tpu.cli import finetune, fuse
+
+    with pytest.raises(SystemExit, match="resume"):
+        finetune.main(COMMON + ["--resume", "ckpt"])
+    with pytest.raises(SystemExit, match="resume"):
+        fuse.main(COMMON + ["--resume", "ckpt"])
+
+
+def test_finetune_loads_orbax_pretrain_checkpoint(tmp_path):
+    """load_backbone extracts the base encoder from a pretrain-written
+    orbax checkpoint ({'state': <moco state>, 'epoch': ...}) — the orbax
+    twin of the torch module.base_encoder surgery."""
+    import argparse
+
+    import jax
+
+    from mfvit_tpu.cli import finetune
+    from mfvit_tpu.exp import checkpoint as ckpt_mod
+    from mfvit_tpu.nn import vit as vit_mod
+    from mfvit_tpu.ssl import moco
+
+    cfg = vit_mod.ViTConfig("t", img_size=32, patch=16, dim=32, depth=1,
+                            heads=2)
+    mcfg = moco.MoCoConfig(dim=8, mlp_dim=16, K=16)
+    state = moco.init(jax.random.PRNGKey(0), mcfg, cfg)
+    ckpt_mod.save(str(tmp_path / "ck"), {"state": state, "epoch": 3})
+
+    args = argparse.Namespace(pretrained=str(tmp_path / "ck"))
+    params = finetune.load_backbone(args, cfg)
+    assert "blocks" in params and "head" not in params
+    np.testing.assert_allclose(
+        np.asarray(params["cls"]),
+        np.asarray(state["base"]["encoder"]["cls"]))
