@@ -269,3 +269,18 @@ def test_finetune_loads_orbax_pretrain_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["cls"]),
         np.asarray(state["base"]["encoder"]["cls"]))
+
+
+def test_get_arch_uses_post_crop_input_size():
+    """The network input size is the post-crop size (reference transform
+    stack: resize shorter side to img_size, crop to crop)."""
+    import argparse
+
+    from mfvit_tpu.cli import common
+
+    args = argparse.Namespace(arch="vit_small", img_size=256, crop=224,
+                              in_chans=3)
+    assert common.get_arch(args).img_size == 224
+    args = argparse.Namespace(arch="vit_small", img_size=224, crop=0,
+                              in_chans=3)
+    assert common.get_arch(args).img_size == 224
