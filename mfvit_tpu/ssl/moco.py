@@ -282,8 +282,13 @@ def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
                                compute_dtype=compute_dtype,
                                stop_grad_conv1=False)
     if cfg.predictor_on_keys:
-        zk, _ = _mlp_apply(state["predictor"], zk, training=True,
-                           axis_name=axis_name)
+        # torch BN updates running stats under ``no_grad`` when the module
+        # is in training mode, so the reference's key pass (:174) advances
+        # the predictor's BN statistics a second time (after the query
+        # pass). Apply the post-query-pass tree and keep its stat update;
+        # normalization itself uses batch stats either way.
+        zk, new_pred = _mlp_apply(new_pred, zk, training=True,
+                                  axis_name=axis_name)
     k = jax.lax.stop_gradient(_l2norm(zk))
 
     # logits vs positive key and the queue (:183-191)
@@ -300,6 +305,14 @@ def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
     # dequeue/enqueue with ALL-GATHERED keys (:91-105)
     keys_all = _gather(k, axis_name)
     bs = keys_all.shape[0]
+    if cfg.K % bs != 0:
+        # the reference asserts this inside the objective (:99); a clamped
+        # dynamic_update_slice would otherwise silently overwrite the queue
+        # TAIL instead of wrapping. Shapes are static, so this raises at
+        # trace time — same effect as the reference's runtime assert.
+        raise ValueError(
+            f"queue length K={cfg.K} must be divisible by the global key "
+            f"batch ({bs}); the ring enqueue assumes K % batch == 0")
     ptr = state["queue_ptr"]
     new_queue = jax.lax.dynamic_update_slice(
         state["queue"], keys_all.T.astype(state["queue"].dtype), (0, ptr))

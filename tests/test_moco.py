@@ -205,3 +205,51 @@ def test_ema_excludes_bn_running_stats(state):
     np.testing.assert_array_equal(
         np.asarray(new_mom["projector"]["layers"][0]["bn"]["mean"]),
         mom_mean_before)
+
+
+def test_v2_queue_rejects_indivisible_batch(state):
+    """K %% batch must hold INSIDE the objective (builder :99 asserts it
+    there): a violating batch raises at trace time instead of silently
+    clamping the ring enqueue onto the queue tail."""
+    imgs = jnp.ones((3, 32, 32, 3))  # K=64, 64 % 3 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        moco.forward_v2_queue(state, imgs, imgs, 0.99, CFG, TINY,
+                              compute_dtype=jnp.float32)
+    tx = optax.sgd(0.1)
+    step = moco.make_pretrain_step(CFG, TINY, tx, compute_dtype=jnp.float32)
+    opt_state = tx.init({"base": state["base"],
+                         "predictor": state["predictor"]})
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(step)(state, opt_state, imgs, imgs, 0.99)
+
+
+def test_predictor_on_keys_updates_predictor_bn_stats(state):
+    """torch BN updates running stats under no_grad in training mode, so
+    the reference's key pass through the predictor (:174) advances the
+    predictor BN statistics a SECOND time after the query pass; the
+    rebuilt objective must thread that update into aux."""
+    rng = np.random.default_rng(3)
+    im_q = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    im_k = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    _, aux = moco.forward_v2_queue(state, im_q, im_k, 0.99, CFG, TINY,
+                                   compute_dtype=jnp.float32)
+    # replicate by hand: query pass stats, then key pass stats on top
+    zq, _ = moco._encode(state["base"], im_q, CFG, TINY, training=True,
+                         axis_name=None, compute_dtype=jnp.float32,
+                         stop_grad_conv1=CFG.stop_grad_conv1)
+    _, pred_q = moco._mlp_apply(state["predictor"], zq, training=True,
+                                axis_name=None)
+    mom = moco._ema_update(state["momentum"], state["base"], 0.99)
+    zk, _ = moco._encode(mom, im_k, CFG, TINY, training=True,
+                         axis_name=None, compute_dtype=jnp.float32,
+                         stop_grad_conv1=False)
+    _, pred_qk = moco._mlp_apply(pred_q, zk, training=True, axis_name=None)
+    # compare running VAR: the predictor's input comes out of the
+    # projector's affine-free BN, so its batch MEAN is degenerately ~0
+    np.testing.assert_allclose(
+        np.asarray(aux["predictor"]["layers"][0]["bn"]["var"]),
+        np.asarray(pred_qk["layers"][0]["bn"]["var"]), rtol=1e-6)
+    # and it is NOT the single-pass (query-only) value
+    assert not np.allclose(
+        np.asarray(aux["predictor"]["layers"][0]["bn"]["var"]),
+        np.asarray(pred_q["layers"][0]["bn"]["var"]))

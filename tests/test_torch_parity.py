@@ -734,3 +734,150 @@ def test_moco_v2classic_matches_reference_builder(tmp_path):
                                    ref.queue.numpy(), rtol=1e-3, atol=1e-3)
     finally:
         torch.Tensor.cuda = orig_cuda
+
+
+# ---------- MoCo TRAIN-STEP parity: backward through THE objective -------
+# Two full optimizer steps of the imported reference builder (torch
+# autograd + torch.optim) vs moco.make_pretrain_step on identical weights
+# and batches: per-leaf base + predictor parameters, the EMA'd momentum
+# tower, and BN running stats must all match. This proves the gradient
+# path through projector/predictor BatchNorms, stop_grad placement, and
+# predictor-on-keys (builder...mocov2loss.py:154-199, trained at pretrain
+# main :533-548).
+
+@pytest.mark.parametrize("opt_name,predictor_on_keys", [
+    ("sgd", True), ("adamw", True), ("sgd", False)])
+def test_moco_train_step_matches_torch(tmp_path, opt_name, predictor_on_keys):
+    import importlib
+
+    import optax
+
+    from mfvit_tpu.ssl import moco
+
+    _init_single_process_dist(tmp_path)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+        name = ("moco.builder_vit_mocov3structure_mocov2loss"
+                + ("" if predictor_on_keys else "_noprediction_q"))
+        mod = importlib.import_module(name)
+
+        torch.manual_seed(21)
+        dim, mlp_dim, T, m = 16, 32, 0.2, 0.97
+        args = types.SimpleNamespace(arch="vit_small")
+        ref = mod.MoCo_ViT(lambda num_classes: TorchViT(TINY, num_classes),
+                           args, dim=dim, mlp_dim=mlp_dim, T=T)
+        with torch.no_grad():
+            for p in ref.momentum_encoder.parameters():
+                p.add_(0.01 * torch.randn_like(p))
+
+        cfg = moco.MoCoConfig(dim=dim, mlp_dim=mlp_dim, K=ref.K, T=T,
+                              predictor_on_keys=predictor_on_keys,
+                              stop_grad_conv1=False)
+        state = {
+            "base": _moco_tower_to_params(ref.base_encoder, TINY),
+            "momentum": _moco_tower_to_params(ref.momentum_encoder, TINY),
+            "predictor": _torch_mlp_to_params(ref.predictor),
+            "queue": jnp.asarray(np.copy(ref.queue.numpy())),
+            "queue_ptr": jnp.zeros((), jnp.int32),
+        }
+        # the converters hand out numpy VIEWS of torch storage and CPU jax
+        # aliases them zero-copy; torch's optimizer mutates params in place,
+        # so deep-copy every leaf before stepping both sides
+        state = jax.tree.map(
+            lambda a: jnp.asarray(np.copy(np.asarray(a))), state)
+
+        # optimizer over trainable params only (momentum tower has
+        # requires_grad=False), like the pretrain main's model.parameters()
+        train_params = [p for p in ref.parameters() if p.requires_grad]
+        if opt_name == "sgd":
+            opt_t = torch.optim.SGD(train_params, lr=0.05, momentum=0.9)
+            tx = optax.sgd(0.05, momentum=0.9)
+        else:
+            opt_t = torch.optim.AdamW(train_params, lr=1e-3, weight_decay=0.1)
+            tx = optax.adamw(1e-3, weight_decay=0.1)
+
+        step = moco.make_pretrain_step(cfg, TINY, tx,
+                                       compute_dtype=jnp.float32)
+        opt_state = tx.init({"base": state["base"],
+                             "predictor": state["predictor"]})
+        crit = nn.CrossEntropyLoss()
+
+        def jax_loss(gp, st, iq, ik):
+            s2 = dict(st, base=gp["base"], predictor=gp["predictor"])
+            loss, _ = moco.forward_v2_queue(
+                s2, iq, ik, m, cfg, TINY, compute_dtype=jnp.float32)
+            return loss
+
+        rng = np.random.default_rng(22)
+        ref.train()
+        for it in range(2):
+            im_q = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+            im_k = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+            logits_t, labels_t = ref(torch.tensor(im_q).permute(0, 3, 1, 2),
+                                     torch.tensor(im_k).permute(0, 3, 1, 2),
+                                     m)
+            loss_t = crit(logits_t, labels_t)
+            opt_t.zero_grad()
+            loss_t.backward()
+
+            if it == 0:
+                # THE backward check: per-leaf gradients through the
+                # v2-queue objective (projector/predictor BNs, stop_grad
+                # placement, predictor-on-keys) vs torch autograd. Reuse
+                # the param converters on a grad-filled clone so the
+                # naming logic stays in one place.
+                import copy as _copy
+                gclone = _copy.deepcopy(ref)
+                for pc, po in zip(gclone.parameters(), ref.parameters()):
+                    pc.data = (po.grad if po.grad is not None
+                               else torch.zeros_like(po)).clone()
+                for buf in gclone.buffers():
+                    buf.zero_()  # BN running stats carry no gradient
+                tgrads = {
+                    "base": _moco_tower_to_params(gclone.base_encoder, TINY),
+                    "predictor": _torch_mlp_to_params(gclone.predictor),
+                }
+                jgrads = jax.grad(jax_loss)(
+                    {"base": state["base"], "predictor": state["predictor"]},
+                    state, jnp.asarray(im_q), jnp.asarray(im_k))
+                _assert_params_close(jgrads["base"], tgrads["base"],
+                                     rtol=1e-3, atol=2e-4)
+                _assert_params_close(jgrads["predictor"],
+                                     tgrads["predictor"],
+                                     rtol=1e-3, atol=2e-4)
+
+            opt_t.step()
+            state, opt_state, loss_j = step(
+                state, opt_state, jnp.asarray(im_q), jnp.asarray(im_k), m)
+            # the step-2 loss is computed from the step-1-updated state on
+            # both sides, so rtol 1e-5 here pins params/EMA/queue threading
+            np.testing.assert_allclose(float(loss_j), float(loss_t),
+                                       rtol=1e-5, atol=1e-6)
+
+        # Param compare after two optimizer steps. Gradients are asserted
+        # tightly above; this checks the optimizer update + state merge.
+        # atol 3e-3 on the gradient-updated towers: step-2 gradients sit
+        # at slightly-perturbed params, where an isolated ReLU kink or
+        # softmax sign flip (measured: 1/6144 elements at 5e-4 under SGD)
+        # and AdamW's sqrt-normalized update on near-zero grads (+-lr =
+        # 2e-3 diffs on ~15/96 bias elements) are intrinsic float noise,
+        # not semantics — semantic errors show up at >=1e-1 across whole
+        # leaves. A double AdamW sign flip can reach ~4*lr = 4e-3, so the
+        # adamw case gets 5e-3. The momentum tower is the EMA of PRE-step
+        # base params, which attenuates that noise by (1-m); it must
+        # match tightly.
+        tower_atol = 5e-3 if opt_name == "adamw" else 3e-3
+        _assert_params_close(state["base"],
+                             _moco_tower_to_params(ref.base_encoder, TINY),
+                             rtol=1e-3, atol=tower_atol)
+        _assert_params_close(state["predictor"],
+                             _torch_mlp_to_params(ref.predictor),
+                             rtol=1e-3, atol=tower_atol)
+        _assert_params_close(
+            state["momentum"],
+            _moco_tower_to_params(ref.momentum_encoder, TINY),
+            rtol=1e-4, atol=5e-4)
+    finally:
+        torch.Tensor.cuda = orig_cuda
