@@ -69,6 +69,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="device-fused augmentation (default)")
     p.add_argument("--aug-host", dest="aug_device", action="store_false",
                    help="full host-side torchvision-parity augmentation")
+    p.add_argument("--canvas-cache-mb", type=int, default=4096,
+                   help="RAM budget for the decode+resize canvas cache "
+                        "(epoch >= 2 skips PNG decode); 0 disables")
+    p.add_argument("--no-canvas-cache", dest="canvas_cache",
+                   action="store_false", default=True,
+                   help="disable the host decode+resize cache")
     p.add_argument("--mesh-devices", type=int, default=None,
                    help="#devices in the data mesh (default: all)")
     p.add_argument("--in-chans", dest="in_chans", type=int, default=3,
@@ -140,7 +146,7 @@ def make_ssl_two_crops_loader(args, manifest_path: str, folder: str, *,
 
 def make_covid_loader(args, manifest_path: str, folder: str, *,
                       training: bool, paired: bool = False,
-                      fourch: bool = False,
+                      fourch: bool = False, ssl_two_views: bool = False,
                       batch_size: Optional[int] = None,
                       seed: int = 0) -> pipeline.BatchLoader:
     """Build a loader over a COVID manifest.
@@ -149,21 +155,45 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
     caller applies device_aug.augment_batch inside its step. Host mode:
     full per-sample torchvision-parity transform on the host.
     ``fourch``: stacked CXR-gray + Enh 4-channel canvases
-    (Dataset_covid_4ch, loader.py:182)."""
+    (Dataset_covid_4ch, loader.py:182). ``ssl_two_views``: TwoCropsTransform
+    semantics — each sample yields TWO independently cropped canvases
+    (q, k, label) so each MoCo view gets its own crop window
+    (loader.py:13-22; device-aug path only)."""
     bs = batch_size or args.batch_size
+    # deterministic decode+resize prefix cached across epochs (the
+    # reference leans on num_workers=12 processes instead — pretrain main
+    # :425-442; on a 1-CPU host the cache is what keeps the chip fed)
+    decode = None
+    if getattr(args, "canvas_cache", True) and args.canvas_cache_mb > 0:
+        decode = ht.DecodeResizeCache(
+            args.img_size, args.maintain_ratio,
+            limit_bytes=args.canvas_cache_mb << 20)
     if args.aug_device:
         def tf(seed_off):
             return ht.CanvasTransform(img_size=args.img_size,
                                       crop=args.crop, training=training,
                                       maintain_ratio=args.maintain_ratio,
                                       seed=seed + seed_off)
-        if fourch:
+        if ssl_two_views:
+            if paired:
+                raise ValueError("ssl_two_views is for the single-flavor "
+                                 "and 4ch SSL paths")
+            if fourch:
+                ds = datasets.Covid4chTwoCropsDataset(manifest_path, tf(0),
+                                                      folder_cxr=folder,
+                                                      decode=decode)
+            else:
+                ds = datasets.CovidTwoCropsDataset(folder, manifest_path,
+                                                   tf(0), decode=decode)
+        elif fourch:
             ds = datasets.Covid4chDataset(manifest_path, tf(0),
-                                          folder_cxr=folder)
+                                          folder_cxr=folder, decode=decode)
         elif paired:
-            ds = datasets.CovidPairedDataset(manifest_path, tf(0), tf(1))
+            ds = datasets.CovidPairedDataset(manifest_path, tf(0), tf(1),
+                                             decode=decode)
         else:
-            ds = datasets.CovidDataset(folder, manifest_path, tf(0))
+            ds = datasets.CovidDataset(folder, manifest_path, tf(0),
+                                       decode=decode)
     else:
         if fourch:
             raise ValueError("--in-chans 4 requires the device-aug path "
@@ -175,11 +205,19 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
                 img_size=args.img_size, crop=args.crop, img_type=img_type,
                 training=training, maintain_ratio=args.maintain_ratio,
                 rotate_deg=float(args.rotate), seed=seed + seed_off)
-        if paired:
+        if ssl_two_views:
+            # full host stack applied twice per sample — the literal
+            # TwoCropsTransform composition (loader.py:13-22)
+            ds = datasets.CovidTwoCropsDataset(folder, manifest_path,
+                                               tf2(folder, 0),
+                                               decode=decode)
+        elif paired:
             ds = datasets.CovidPairedDataset(manifest_path, tf2("data", 0),
-                                             tf2("Train_Mix", 1))
+                                             tf2("Train_Mix", 1),
+                                             decode=decode)
         else:
-            ds = datasets.CovidDataset(folder, manifest_path, tf2(folder, 0))
+            ds = datasets.CovidDataset(folder, manifest_path,
+                                       tf2(folder, 0), decode=decode)
     return pipeline.BatchLoader(ds, bs, shuffle=training, seed=seed,
                                 drop_last=training,
                                 pad_final=not training,

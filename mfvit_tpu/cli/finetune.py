@@ -30,7 +30,7 @@ from mfvit_tpu.data import device_aug, manifest as mf, pipeline
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.nn import vit as vit_mod
-from mfvit_tpu.train import metrics, optim, steps
+from mfvit_tpu.train import metrics, optim, profiler, steps
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -145,10 +145,21 @@ def train_one_draw_fn(args, cfg):
         # + prefetch workers equivalent, pretrain main :425-442)
         shard = common.batch_sharding(mesh, n_dev)
 
+        k_aug_base = k_aug
         for epoch in range(args.start_epoch, args.epochs):
-            ep_loss = metrics.AverageMeter("loss", ":.4f")
+            # epoch-folded aug keys + pinned loader epoch: a run started
+            # at --start-epoch E replays the uninterrupted run's draws
+            k_aug = jax.random.fold_in(k_aug_base, epoch)
+            tl.set_epoch(epoch)
+            ep_loss = metrics.AverageMeter("Loss", ":.4e")
+            # batch/data timing lines at --print-freq cadence (the
+            # reference hot-loop display contract, pretrain main :485-555)
+            timer = profiler.StepTimer(steps_per_epoch,
+                                       prefix=f"Epoch: [{epoch}]",
+                                       extra_meters=[ep_loss])
             for i, (canv, labels) in enumerate(
                     pipeline.device_prefetch(iter(tl), sharding=shard)):
+                timer.data_ready()
                 k_aug, k_b = jax.random.split(k_aug)
                 if args.aug_device:
                     x = device_aug.augment_batch(
@@ -160,6 +171,7 @@ def train_one_draw_fn(args, cfg):
                 params, opt_state, loss, _ = train_step(
                     params, opt_state, x, labels)
                 ep_loss.update(float(loss), int(labels.shape[0]))
+                timer.step_done(i, args.print_freq)
             val_auc, val_acc, val_loss, _, _ = evaluate(
                 eval_step, params, vl, args, n_total=n_val,
                 mesh=mesh, n_dev=n_dev)

@@ -30,7 +30,7 @@ from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.models import fusion as fusion_mod
 from mfvit_tpu.nn import vit as vit_mod
-from mfvit_tpu.train import metrics, optim, steps
+from mfvit_tpu.train import metrics, optim, profiler, steps
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -153,10 +153,19 @@ def train_one_draw_fn(args, cfg):
         # double-buffered device feed (pretrain main :425-442 equivalent)
         shard = common.batch_sharding(mesh, n_dev)
 
+        k_aug_base = k_aug
         for epoch in range(args.start_epoch, args.epochs):
-            ep_loss = metrics.AverageMeter("loss", ":.4f")
-            for cxr, enh, labels in pipeline.device_prefetch(
-                    iter(tl), sharding=shard):
+            # epoch-folded aug keys + pinned loader epoch (determinism
+            # across --start-epoch), as in pretrain/finetune
+            k_aug = jax.random.fold_in(k_aug_base, epoch)
+            tl.set_epoch(epoch)
+            ep_loss = metrics.AverageMeter("Loss", ":.4e")
+            timer = profiler.StepTimer(steps_per_epoch,
+                                       prefix=f"Epoch: [{epoch}]",
+                                       extra_meters=[ep_loss])
+            for i, (cxr, enh, labels) in enumerate(pipeline.device_prefetch(
+                    iter(tl), sharding=shard)):
+                timer.data_ready()
                 k_aug, ka, kb = jax.random.split(k_aug, 3)
                 if args.aug_device:
                     xc = device_aug.augment_batch(
@@ -171,6 +180,7 @@ def train_one_draw_fn(args, cfg):
                 params, opt_state, loss, _ = train_step(
                     params, opt_state, xc, xe, labels)
                 ep_loss.update(float(loss), int(labels.shape[0]))
+                timer.step_done(i, args.print_freq)
             val_auc, val_acc = evaluate(eval_step, params, vl, args,
                                         mesh=mesh, n_dev=n_dev,
                                         n_total=n_val)

@@ -31,7 +31,7 @@ from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.parallel import mesh as pmesh
 from mfvit_tpu.ssl import moco
-from mfvit_tpu.train import metrics, optim
+from mfvit_tpu.train import metrics, optim, profiler
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -91,9 +91,14 @@ def train_one_draw_fn(args, vit_cfg):
             tl = common.make_ssl_two_crops_loader(args, man, args.folder,
                                                   seed=draw)
         else:
+            # TwoCropsTransform semantics: two independently cropped
+            # canvases per sample (loader.py:13-22 +
+            # image_transform.py:58-63); device aug then draws
+            # independent flip/rotation per view
             tl = common.make_covid_loader(args, man, args.folder,
                                           training=True, fourch=fourch,
-                                          seed=draw)
+                                          ssl_two_views=True, seed=draw)
+        host_transformed = byol or not args.aug_device
         steps_per_epoch = max(len(tl), 1)
 
         mesh, n_dev = common.setup_mesh(args)
@@ -142,33 +147,46 @@ def train_one_draw_fn(args, vit_cfg):
             print(f"=> resumed from {args.resume} at epoch {start_epoch}")
 
         best_loss = math.inf
-        k_aug = jax.random.fold_in(key, 1)
+        k_aug_base = jax.random.fold_in(key, 1)
         result = harness.DrawResult(ratio, draw)
-        ep_loss = metrics.AverageMeter("loss", ":.4f")  # survives empty loop
+        ep_loss = metrics.AverageMeter("Loss", ":.4e")  # survives empty loop
         # double-buffered device feed: H2D overlaps the MoCo step (the
         # reference's pin_memory + prefetch workers, pretrain main :425-442)
         shard = common.batch_sharding(mesh, n_dev)
         for epoch in range(start_epoch, args.epochs):
-            ep_loss = metrics.AverageMeter("loss", ":.4f")
+            # fold (epoch) into the aug key stream so a resumed run
+            # replays the SAME draws the uninterrupted run made for this
+            # epoch (the host loader gets this via set_epoch)
+            k_aug = jax.random.fold_in(k_aug_base, epoch)
+            tl.set_epoch(epoch)  # resume replays this epoch's host order
+            ep_loss = metrics.AverageMeter("Loss", ":.4e")
+            # batch/data timing lines at --print-freq cadence, the
+            # reference hot-loop display contract (pretrain main :485-555)
+            timer = profiler.StepTimer(steps_per_epoch,
+                                       prefix=f"Epoch: [{epoch}]",
+                                       extra_meters=[ep_loss])
             for i, batch in enumerate(
                     pipeline.device_prefetch(iter(tl), sharding=shard)):
+                timer.data_ready()
                 it_epoch = epoch + i / steps_per_epoch
                 m = (float(optim.moco_momentum(it_epoch, args.moco_m,
                                                args.epochs))
                      if args.moco_m_cos else args.moco_m)
                 k_aug, k_b = jax.random.split(k_aug)
-                if byol:
+                if host_transformed:
                     q, k_img, _labels = (
                         b.astype(common.compute_dtype(args)) for b in batch)
                 else:
-                    canv, _labels = batch
+                    canv_q, canv_k, _labels = batch
                     q, k_img = device_aug.augment_two_views(
-                        k_b, canv, img_type="4ch" if fourch else args.folder,
+                        k_b, canv_q, canv_k,
+                        img_type="4ch" if fourch else args.folder,
                         rotate_deg=float(args.rotate),
                         out_dtype=common.compute_dtype(args))
                 state, opt_state, loss = step(state, opt_state, q, k_img,
                                               jnp.float32(m))
                 ep_loss.update(float(loss), int(q.shape[0]))
+                timer.step_done(i, args.print_freq)
                 if writer is not None and i % args.print_freq == 0:
                     writer.add_scalar("pretrain/loss", float(loss),
                                       epoch * steps_per_epoch + i)

@@ -15,9 +15,12 @@ arrays ready for batching:
 Each dataset produces either fixed-size uint8 canvases (device-fused
 augmentation path) or fully transformed float arrays (host parity path),
 depending on the transform passed in. The MoCo two-view behavior
-(TwoCropsTransform, loader.py:13-22) is a pipeline/device concern here:
-datasets return ONE canvas per flavor; ``device_aug.augment_two_views``
-draws the two views on-device.
+(TwoCropsTransform, loader.py:13-22) is split: the HOST applies the
+transform twice per sample (two independent RandomCrop windows, matching
+the reference's full-stack-twice semantics) via the TwoCrops datasets —
+with a CanvasTransform for the device-aug path — and
+``device_aug.augment_two_views`` then draws independent flip/rotation per
+view on-device.
 """
 from __future__ import annotations
 
@@ -57,15 +60,17 @@ class _EpochMixin:
 class CovidDataset(_EpochMixin):
     """Single-flavor COVID dataset: (image, label)."""
 
-    def __init__(self, folder: str, img_csv: str, transform: Transform):
+    def __init__(self, folder: str, img_csv: str, transform: Transform,
+                 decode: Optional[Transform] = None):
         self.manifest = parse_covid(img_csv, folder)
         self.transform = transform
+        self.decode = decode or ht.decode_bgr
 
     def __len__(self):
         return len(self.manifest)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.int32]:
-        img = ht.decode_bgr(self.manifest.paths[idx])
+        img = self.decode(self.manifest.paths[idx])
         return (_apply_tf(self.transform, img, (self._epoch, idx)),
                 self.manifest.labels[idx])
 
@@ -74,18 +79,22 @@ class CovidTwoCropsDataset(_EpochMixin):
     """TwoCropsTransform semantics on the host (loader.py:13-22 +
     Dataset_covid :130-133): the SAME decoded image through the transform
     TWICE -> (q, k, label). Used for the BYOL/moco-v2 aug settings whose
-    stacks run host-side; the chexpert path instead draws its two views
-    on-device (device_aug.augment_two_views)."""
+    stacks run host-side, and — with a CanvasTransform — for the
+    device-aug chexpert path, where each view gets its own host
+    RandomCrop window and device_aug.augment_two_views then draws
+    independent flip/rotation per view."""
 
-    def __init__(self, folder: str, img_csv: str, transform: Transform):
+    def __init__(self, folder: str, img_csv: str, transform: Transform,
+                 decode: Optional[Transform] = None):
         self.manifest = parse_covid(img_csv, folder)
         self.transform = transform
+        self.decode = decode or ht.decode_bgr
 
     def __len__(self):
         return len(self.manifest)
 
     def __getitem__(self, idx: int):
-        img = ht.decode_bgr(self.manifest.paths[idx])
+        img = self.decode(self.manifest.paths[idx])
         return (_apply_tf(self.transform, img, (self._epoch, idx, 0)),
                 _apply_tf(self.transform, img, (self._epoch, idx, 1)),
                 self.manifest.labels[idx])
@@ -100,17 +109,19 @@ class CovidPairedDataset(_EpochMixin):
 
     def __init__(self, img_csv: str, transform_cxr: Transform,
                  transform_enh: Transform, folder_cxr: str = "data",
-                 folder_enh: str = "Train_Mix"):
+                 folder_enh: str = "Train_Mix",
+                 decode: Optional[Transform] = None):
         self.manifest = parse_covid_paired(img_csv, folder_cxr, folder_enh)
         self.transform_cxr = transform_cxr
         self.transform_enh = transform_enh
+        self.decode = decode or ht.decode_bgr
 
     def __len__(self):
         return len(self.manifest)
 
     def __getitem__(self, idx: int):
-        cxr = ht.decode_bgr(self.manifest.paths[idx])
-        enh = ht.decode_bgr(self.manifest.paths_alt[idx])
+        cxr = self.decode(self.manifest.paths[idx])
+        enh = self.decode(self.manifest.paths_alt[idx])
         return (_apply_tf(self.transform_cxr, cxr, (self._epoch, idx)),
                 _apply_tf(self.transform_enh, enh, (self._epoch, idx)),
                 self.manifest.labels[idx])
@@ -121,18 +132,45 @@ class Covid4chDataset(_EpochMixin):
     ``np.concatenate((cxr, enh), axis=2)[:, :, 2:]``)."""
 
     def __init__(self, img_csv: str, transform: Transform,
-                 folder_cxr: str = "data", folder_enh: str = "Train_Mix"):
+                 folder_cxr: str = "data", folder_enh: str = "Train_Mix",
+                 decode: Optional[Transform] = None):
         self.manifest = parse_covid_paired(img_csv, folder_cxr, folder_enh)
         self.transform = transform
+        self.decode = decode or ht.decode_bgr
 
     def __len__(self):
         return len(self.manifest)
 
     def __getitem__(self, idx: int):
-        cxr = ht.decode_bgr(self.manifest.paths[idx])
-        enh = ht.decode_bgr(self.manifest.paths_alt[idx])
+        cxr = self.decode(self.manifest.paths[idx])
+        enh = self.decode(self.manifest.paths_alt[idx])
         img = np.concatenate((cxr, enh), axis=2)[:, :, 2:]
         return (_apply_tf(self.transform, img, (self._epoch, idx)),
+                self.manifest.labels[idx])
+
+
+class Covid4chTwoCropsDataset(_EpochMixin):
+    """Two-view 4ch variant for SSL pretraining (builder_4ch's objective
+    over Dataset_covid_4ch's stacked input, loader.py:144-198): the same
+    stacked image through the transform twice -> (q, k, label), so each
+    MoCo view gets its own crop window like TwoCropsTransform."""
+
+    def __init__(self, img_csv: str, transform: Transform,
+                 folder_cxr: str = "data", folder_enh: str = "Train_Mix",
+                 decode: Optional[Transform] = None):
+        self.manifest = parse_covid_paired(img_csv, folder_cxr, folder_enh)
+        self.transform = transform
+        self.decode = decode or ht.decode_bgr
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int):
+        cxr = self.decode(self.manifest.paths[idx])
+        enh = self.decode(self.manifest.paths_alt[idx])
+        img = np.concatenate((cxr, enh), axis=2)[:, :, 2:]
+        return (_apply_tf(self.transform, img, (self._epoch, idx, 0)),
+                _apply_tf(self.transform, img, (self._epoch, idx, 1)),
                 self.manifest.labels[idx])
 
 
@@ -161,9 +199,9 @@ class CovidEnhCxrDataset(_EpochMixin):
     def __getitem__(self, idx: int):
         ctx = (self._epoch, idx)
         r = ht._rng_for(self.seed, self._rng, ctx)
-        cxr = ht.decode_bgr(self.manifest.paths[idx])
+        cxr = self.decode(self.manifest.paths[idx])
         if self.per_enh >= 1.0 or r.random() <= self.per_enh:
-            enh = ht.decode_bgr(self.manifest.paths_alt[idx])
+            enh = self.decode(self.manifest.paths_alt[idx])
             q = _apply_tf(self.transform_enh, enh, ctx)
         else:
             q = _apply_tf(self.transform_cxr, cxr, ctx)
@@ -175,15 +213,16 @@ class ChexpertDataset(_EpochMixin):
     """CheXpert CSV dataset with disease-column label lookup."""
 
     def __init__(self, folder: str, img_csv: str, transform: Transform,
-                 disease_name: str):
+                 disease_name: str, decode: Optional[Transform] = None):
         self.manifest = parse_chexpert(img_csv, folder, disease_name)
         self.transform = transform
+        self.decode = decode or ht.decode_bgr
 
     def __len__(self):
         return len(self.manifest)
 
     def __getitem__(self, idx: int):
-        img = ht.decode_bgr(self.manifest.paths[idx])
+        img = self.decode(self.manifest.paths[idx])
         return (_apply_tf(self.transform, img, (self._epoch, idx)),
                 self.manifest.labels[idx])
 
@@ -202,9 +241,11 @@ class ChexpertMixDataset(_EpochMixin):
     def __init__(self, folder_cxr: str, folder_enh: str, img_csv: str,
                  transform_cxr: Transform, transform_enh: Transform,
                  disease_name: str, per_enh: float, mode: str = "mix",
-                 seed: Optional[int] = 0):
+                 seed: Optional[int] = 0,
+                 decode: Optional[Transform] = None):
         self.m_cxr = parse_chexpert(img_csv, folder_cxr, disease_name)
         self.m_enh = parse_chexpert(img_csv, folder_enh, disease_name)
+        self.decode = decode or ht.decode_bgr
         self.transform_cxr = transform_cxr
         self.transform_enh = transform_enh
         self.per_enh = per_enh
@@ -218,9 +259,9 @@ class ChexpertMixDataset(_EpochMixin):
     def __getitem__(self, idx: int):
         ctx = (self._epoch, idx)
         r = ht._rng_for(self.seed, self._rng, ctx)
-        cxr = ht.decode_bgr(self.m_cxr.paths[idx])
+        cxr = self.decode(self.m_cxr.paths[idx])
         if self.mode == "norm1":
-            enh = ht.decode_bgr(self.m_enh.paths[idx])
+            enh = self.decode(self.m_enh.paths[idx])
             if r.random() <= self.per_enh:
                 cxr = enh
             else:
@@ -232,7 +273,7 @@ class ChexpertMixDataset(_EpochMixin):
                 q = _apply_tf(self.transform_cxr, cxr, ctx)
                 k = _apply_tf(self.transform_cxr, cxr, ctx + (1,))
             else:
-                enh = ht.decode_bgr(self.m_enh.paths[idx])
+                enh = self.decode(self.m_enh.paths[idx])
                 q = _apply_tf(self.transform_cxr, cxr, ctx)
                 k = _apply_tf(self.transform_enh, enh, ctx + (1,))
         return q, k, self.m_cxr.labels[idx]

@@ -81,14 +81,24 @@ def augment_batch(key, canvases: jnp.ndarray, *, img_type: str = "data",
     jax.jit,
     static_argnames=("img_type", "rotate_deg", "hflip", "out_dtype"),
 )
-def augment_two_views(key, canvases: jnp.ndarray, *, img_type: str = "data",
+def augment_two_views(key, canvases: jnp.ndarray,
+                      canvases_k: jnp.ndarray = None, *,
+                      img_type: str = "data",
                       rotate_deg: float = 10.0, hflip: bool = True,
                       out_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """MoCo q/k two-view augmentation (TwoCropsTransform, loader.py:13-22):
-    the SAME canvas, two independent augmentation draws."""
+    """MoCo q/k two-view augmentation (TwoCropsTransform, loader.py:13-22).
+
+    The reference applies the FULL per-view stack twice — each view gets
+    its own RandomCrop window (image_transform.py:58-63). The host side of
+    that is the TwoCrops datasets, which emit TWO independently cropped
+    canvases per sample; pass them as ``canvases``/``canvases_k`` so q and
+    k differ in crop as well as in the flip/rotation drawn here. With
+    ``canvases_k`` omitted both views share one crop window (legacy
+    shared-crop behavior, kept for ablation)."""
     kq, kk = jax.random.split(key)
+    ck = canvases if canvases_k is None else canvases_k
     q = augment_batch(kq, canvases, img_type=img_type, training=True,
                       rotate_deg=rotate_deg, hflip=hflip, out_dtype=out_dtype)
-    k = augment_batch(kk, canvases, img_type=img_type, training=True,
+    k = augment_batch(kk, ck, img_type=img_type, training=True,
                       rotate_deg=rotate_deg, hflip=hflip, out_dtype=out_dtype)
     return q, k

@@ -54,7 +54,54 @@ def resize_shorter(img: np.ndarray, size: int) -> np.ndarray:
 
 def resize_square(img: np.ndarray, size: int) -> np.ndarray:
     """torchvision ``Resize((size, size))`` (maintain_ratio=False path)."""
+    if img.shape[:2] == (size, size):
+        return img
     return np.asarray(Image.fromarray(img).resize((size, size), Image.BILINEAR))
+
+
+class DecodeResizeCache:
+    """RAM cache of the deterministic decode+resize prefix of every
+    transform stack.
+
+    The reference hides PNG-decode cost behind ``DataLoader(num_workers=
+    12)`` worker PROCESSES (pretrain main :425-442); on a weak host that
+    still re-decodes every image every epoch. Here the decode + resize
+    prefix — identical across epochs — is cached as uint8 once, so from
+    epoch 2 on the host only runs the cheap random crop/flip suffix (or
+    nothing, on the device-aug path) and the TPU stays fed. The random
+    augmentation suffix is NOT cached, preserving the per-epoch draw
+    distribution exactly.
+
+    Thread-safe under the GIL (BatchLoader uses worker threads); arrays
+    are marked read-only before sharing. ``limit_bytes`` caps growth —
+    past it, images decode per-epoch as before (no eviction: epoch order
+    is shuffled, so any fixed subset is as good as LRU)."""
+
+    def __init__(self, img_size: int, maintain_ratio: bool = True,
+                 limit_bytes: int = 4 << 30):
+        self.img_size = img_size
+        self.maintain_ratio = maintain_ratio
+        self.limit_bytes = limit_bytes
+        self._store: dict = {}
+        self._bytes = 0
+
+    def __call__(self, path: str) -> np.ndarray:
+        img = self._store.get(path)
+        if img is not None:
+            return img
+        img = decode_bgr(path)
+        img = (resize_shorter(img, self.img_size) if self.maintain_ratio
+               else resize_square(img, self.img_size))
+        if self._bytes + img.nbytes <= self.limit_bytes:
+            img = np.ascontiguousarray(img)
+            img.setflags(write=False)
+            self._store[path] = img
+            self._bytes += img.nbytes
+        return img
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
 
 
 def center_crop(img: np.ndarray, ch: int, cw: int) -> np.ndarray:

@@ -55,6 +55,14 @@ class BatchLoader:
         n = len(self.ds)
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch used by the NEXT iteration's shuffle and
+        augmentation context. Training loops call this every epoch so a
+        run resumed at epoch E replays exactly the order/draws the
+        uninterrupted run used for E (the reference analogue is
+        DistributedSampler.set_epoch, pretrain main :450-451)."""
+        self.epoch = epoch
+
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.ds))
         if self.shuffle:

@@ -24,12 +24,14 @@ class StepTimer:
     """Tracks data-wait and step wall-clock like the reference's
     batch_time/data_time meters."""
 
-    def __init__(self, num_batches: int, prefix: str = ""):
+    def __init__(self, num_batches: int, prefix: str = "",
+                 extra_meters=()):
         self.batch_time = AverageMeter("Time", ":6.3f")
         self.data_time = AverageMeter("Data", ":6.3f")
-        self.progress = ProgressMeter(num_batches,
-                                      [self.batch_time, self.data_time],
-                                      prefix=prefix)
+        self.progress = ProgressMeter(
+            num_batches,
+            [self.batch_time, self.data_time, *extra_meters],
+            prefix=prefix)
         self._end = time.time()
 
     def data_ready(self):

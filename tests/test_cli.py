@@ -284,3 +284,24 @@ def test_get_arch_uses_post_crop_input_size():
     args = argparse.Namespace(arch="vit_small", img_size=224, crop=0,
                               in_chans=3)
     assert common.get_arch(args).img_size == 224
+
+
+def test_pretrain_progress_display_contract(covid_root, capfd):
+    """--print-freq emits the reference hot-loop display lines
+    (ProgressMeter: 'Epoch: [E][ i/N]\\tTime ...\\tData ...\\tLoss ...' —
+    pretrain main :485-555 with meters.py formatting)."""
+    import re
+
+    from mfvit_tpu.cli import pretrain
+    out = covid_root / "exp_pre_disp"
+    pretrain.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "disp",
+        "-b", "8", "--epochs", "1", "--warmup-epochs", "0", "--cos",
+        "--lr", "1e-3", "--optimizer", "sgd", "--print-freq", "1",
+        "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "32",
+        "--semi-ratios", "1"])
+    cap = capfd.readouterr().out
+    pat = (r"Epoch: \[0\]\[\d+/\d+\]\tTime +[\d.]+ \( *[\d.]+\)\t"
+           r"Data +[\d.]+ \( *[\d.]+\)\tLoss [\d.e+-]+ \([\d.e+-]+\)")
+    assert re.search(pat, cap), f"no progress line in output:\n{cap[-2000:]}"

@@ -406,3 +406,116 @@ def test_crop_guards_and_canvas_crop():
     assert out.shape == (24, 24, 3)
     out = ht.CanvasTransform(img_size=32, crop=24, training=False)(img)
     assert out.shape == (24, 24, 3)
+
+
+def test_ssl_two_canvas_crops_are_independent(tmp_path):
+    """VERDICT r2 #2: each MoCo view must get its OWN RandomCrop window
+    (TwoCropsTransform applies the full stack twice — loader.py:13-22 +
+    image_transform.py:58-63). The device-aug SSL path now feeds
+    CovidTwoCropsDataset with a CanvasTransform: the two canvases of one
+    sample must come from different crop offsets."""
+    os.makedirs(tmp_path / "imgs" / "data")
+    # wide gradient image: every crop offset yields distinct pixels
+    grad = np.tile(np.arange(600, dtype=np.uint8)[None, :, None],
+                   (300, 1, 3))
+    cv2.imwrite(str(tmp_path / "imgs" / "data" / "g.png"), grad)
+    man = str(tmp_path / "man.txt")
+    mf.write_covid_manifest(man, str(tmp_path / "imgs"), ["g.png"], [0])
+    tf = ht.CanvasTransform(img_size=64, crop=32, training=True, seed=0)
+    ds = datasets.CovidTwoCropsDataset("data", man, tf)
+    diffs = 0
+    for epoch in range(4):
+        ds.set_epoch(epoch)
+        q, k, _ = ds[0]
+        assert q.shape == k.shape == (32, 32, 3)
+        diffs += int(not np.array_equal(q, k))
+    # independent uniform offsets over a 64x128-ish canvas collide rarely;
+    # at least 3 of 4 epochs must show different crop windows
+    assert diffs >= 3
+
+
+def test_augment_two_views_accepts_separate_canvases():
+    rng = np.random.default_rng(1)
+    cq = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3), np.uint8))
+    ck = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3), np.uint8))
+    q, k = device_aug.augment_two_views(
+        jax.random.PRNGKey(0), cq, ck, img_type="data", rotate_deg=0.0,
+        hflip=False)
+    # with flip/rotation off, each view is exactly its own canvas
+    mean, std = constants.norm_stats("data")
+    np.testing.assert_allclose(
+        np.asarray(q),
+        (np.asarray(cq, np.float32) / 255.0 - mean) / std,
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(k),
+        (np.asarray(ck, np.float32) / 255.0 - mean) / std,
+        rtol=1e-4, atol=1e-6)
+
+
+def test_batch_loader_set_epoch_resume_replays_order():
+    """A loader resumed at epoch E (set_epoch) must replay the same
+    shuffle order the uninterrupted run used for E."""
+    a = BatchLoader(_ToyDS(12), 4, seed=3, num_workers=1)
+    uninterrupted = []
+    for _ in range(3):
+        uninterrupted.append([b[1].tolist() for b in a])
+    b_ = BatchLoader(_ToyDS(12), 4, seed=3, num_workers=1)
+    b_.set_epoch(2)
+    resumed = [b[1].tolist() for b in b_]
+    assert resumed == uninterrupted[2]
+
+
+def test_decode_resize_cache_hits_and_budget(tmp_path, monkeypatch):
+    """DecodeResizeCache: one decode per image ever (epoch >= 2 is
+    decode-free), byte budget respected, cached output identical to the
+    uncached decode+resize."""
+    p1 = str(tmp_path / "a.png")
+    p2 = str(tmp_path / "b.png")
+    _write_img(p1, 120, 160, seed=1)
+    _write_img(p2, 120, 160, seed=2)
+    calls = []
+    real = ht.decode_bgr
+    monkeypatch.setattr(ht, "decode_bgr",
+                        lambda path: (calls.append(path), real(path))[1])
+    cache = ht.DecodeResizeCache(64, maintain_ratio=True)
+    ref = ht.resize_shorter(real(p1), 64)
+    for _ in range(3):
+        out = cache(p1)
+        np.testing.assert_array_equal(out, ref)
+    assert calls.count(p1) == 1
+    assert cache.nbytes == ref.nbytes
+    # budget: second image does not fit -> decoded every time, not stored
+    small = ht.DecodeResizeCache(64, limit_bytes=ref.nbytes)
+    small(p1), small(p1), small(p2), small(p2)
+    assert small.nbytes == ref.nbytes  # only p1 stored
+
+def test_loader_with_cache_is_identical(tmp_path):
+    """Batches from a cached loader equal the uncached ones across epochs
+    (the cache covers only the deterministic decode+resize prefix)."""
+    import argparse
+
+    os.makedirs(tmp_path / "imgs" / "data")
+    names = []
+    for i in range(6):
+        _write_img(str(tmp_path / "imgs" / "data" / f"i{i}.png"),
+                   90, 120, seed=i)
+        names.append(f"i{i}.png")
+    man = str(tmp_path / "man.txt")
+    mf.write_covid_manifest(man, str(tmp_path / "imgs"), names,
+                            [i % 3 for i in range(6)])
+
+    from mfvit_tpu.cli import common
+
+    def mk(cache):
+        args = argparse.Namespace(
+            batch_size=3, img_size=48, crop=32, maintain_ratio=True,
+            aug_device=True, workers=2, rotate=10.0,
+            canvas_cache=cache, canvas_cache_mb=64)
+        return common.make_covid_loader(args, man, "data", training=True,
+                                        seed=0)
+    a, b = mk(False), mk(True)
+    for _ in range(2):  # epoch 2 hits the cache
+        for (xa, la), (xb, lb) in zip(a, b):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(la, lb)

@@ -119,7 +119,10 @@ def test_pretrain_resume(tmp_path):
             "--maintain-ratio", "--compute-dtype", "float32",
             "--attn-backend", "xla", "-j", "1", "--seed", "0",
             "--covid-ds", str(man), "--storage-root", str(root / "out"),
-            "-b", "8", "--epochs", "2", "--warmup-epochs", "0", "--cos",
+            # constant LR (no --cos: the cosine horizon depends on
+            # --epochs, which legitimately differs between the 2-epoch
+            # checkpointing run and the 3-epoch comparison run)
+            "-b", "8", "--epochs", "2", "--warmup-epochs", "0",
             "--lr", "1e-3", "--optimizer", "adamw",
             "--moco-dim", "8", "--moco-mlp-dim", "16", "--moco-k", "16",
             "--save-epoch", "1", "--semi-ratios", "1"]
@@ -128,8 +131,15 @@ def test_pretrain_resume(tmp_path):
     ck = exp / "train_1_0" / "checkpoint_0001"
     assert ck.exists()
     # resume from the final checkpoint; one extra epoch
-    pre.main(argv + ["--resume", str(ck), "--epochs", "3",
-                     "--exp-name", "resumed"])
+    res_resumed = pre.main(argv + ["--resume", str(ck), "--epochs", "3",
+                                   "--exp-name", "resumed"])
+    # determinism across resume (VERDICT r2 #9): the resumed epoch must
+    # replay the uninterrupted run's host shuffle AND device-aug draws
+    # (epoch-folded k_aug + BatchLoader.set_epoch), so its final loss
+    # equals an uninterrupted 3-epoch run's bit-for-bit
+    res_full = pre.main(argv + ["--epochs", "3", "--exp-name", "full3"])
+    assert res_resumed[0].extra["final_loss"] == \
+        pytest.approx(res_full[0].extra["final_loss"], rel=1e-6)
 
 
 def test_bestkeeper_never_locks_on_nan(tmp_path):

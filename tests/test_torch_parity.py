@@ -103,6 +103,27 @@ class TorchViT(nn.Module):
         return sd
 
 
+def _vit_logits_match_torch(cfg, batch=2, rtol=1e-4, atol=1e-5):
+    tm = TorchViT(cfg).eval()
+    params = ckpt.torch_vit_to_params(tm.state_dict_vits_names(), cfg)
+    img = np.random.default_rng(0).normal(
+        size=(batch, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(img).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(vit.apply(params, jnp.asarray(img), cfg,
+                                compute_dtype=jnp.float32,
+                                attn_backend="xla"))
+    np.testing.assert_allclose(ours, ref, rtol=rtol, atol=atol)
+
+
+def test_vit_small_full_size_logits_match_torch():
+    """Full-size spot check (VERDICT r2 #5): fp32 ViT-S/16 @224 — the
+    197-token sincos table and 14x14 grid at the production config
+    (SURVEY §2.2 model contract) vs the torch twin."""
+    # atol 1e-4: 12 blocks of fp32 accumulation at dim 384
+    _vit_logits_match_torch(vit.get_config("vit_small"), atol=1e-4)
+
+
 def test_vit_logits_match_torch():
     tm = TorchViT(TINY).eval()
     params = ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY)
@@ -192,10 +213,13 @@ class _FakeViT(nn.Module):
         return self._logits
 
 
-def test_fusion_head_matches_reference():
+@pytest.mark.parametrize("N", [17, 197])
+def test_fusion_head_matches_reference(N):
+    # N=197 is the full-size spot check: the real ViT-S/16 @224 token
+    # count, exercising the padding-mask/concat shapes at production dims
     mod = _import_reference_fusion()
     rng = np.random.default_rng(2)
-    B, N, dim = 2, 17, 384
+    B, dim = 2, 384
     tok_cxr = rng.normal(size=(B, N, dim)).astype(np.float32)
     tok_enh = rng.normal(size=(B, N, dim)).astype(np.float32)
     logit = rng.normal(size=(B, 3)).astype(np.float32)

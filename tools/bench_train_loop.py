@@ -42,9 +42,13 @@ mf.write_covid_manifest(f"{root}/man.txt", f"{root}/images", names, labels)
 
 tf = ht.CanvasTransform(img_size=224, training=True, maintain_ratio=True,
                         seed=0)
-ds = datasets.CovidDataset("data", f"{root}/man.txt", tf)
-loader = pipeline.BatchLoader(ds, B, shuffle=True, seed=0, drop_last=True,
-                              num_workers=8)
+
+
+def make_loader(decode=None):
+    ds = datasets.CovidDataset("data", f"{root}/man.txt", tf, decode=decode)
+    return pipeline.BatchLoader(ds, B, shuffle=True, seed=0, drop_last=True,
+                                num_workers=8)
+
 
 cfg = vit.get_config("vit_small")
 params = vit.init(jax.random.PRNGKey(0), cfg, num_classes=3)
@@ -55,8 +59,10 @@ opt_state = tx.init(params)
 key = jax.random.PRNGKey(1)
 
 
-def run(prefetch: bool):
+def run(prefetch: bool, loader=None):
     global params, opt_state, key
+    if loader is None:
+        loader = make_loader()
     n = 0
     t0 = None
     done = 0
@@ -91,3 +97,10 @@ print(f"train loop WITH device_prefetch: {v_pre:.0f} img/s")
 v_sync = run(False)
 print(f"train loop synchronous H2D:      {v_sync:.0f} img/s")
 print(f"speedup: {v_pre / v_sync:.3f}x")
+
+# decode+resize canvas cache (epoch >= 2 is decode-free): the timed
+# window starts after the cache-filling first epoch, i.e. steady state
+cached = make_loader(ht.DecodeResizeCache(224, maintain_ratio=True))
+v_cache = run(True, cached)
+print(f"train loop prefetch + canvas cache: {v_cache:.0f} img/s")
+print(f"cache speedup over uncached: {v_cache / v_pre:.3f}x")
