@@ -75,6 +75,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-canvas-cache", dest="canvas_cache",
                    action="store_false", default=True,
                    help="disable the host decode+resize cache")
+    p.add_argument("--device-store-mb", type=int, default=2048,
+                   help="HBM budget for the device-resident canvas store "
+                        "(epoch >= 2 needs zero host work / zero H2D); "
+                        "0 disables. Applies to single-device device-aug "
+                        "square-resize (no --maintain-ratio) runs")
     p.add_argument("--mesh-devices", type=int, default=None,
                    help="#devices in the data mesh (default: all)")
     p.add_argument("--in-chans", dest="in_chans", type=int, default=3,
@@ -142,6 +147,69 @@ def make_ssl_two_crops_loader(args, manifest_path: str, folder: str, *,
     ds = datasets.CovidTwoCropsDataset(folder, manifest_path, tf)
     return pipeline.BatchLoader(ds, args.batch_size, shuffle=True, seed=seed,
                                 drop_last=True, num_workers=args.workers)
+
+
+def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
+                            seed: int = 0) -> pipeline.BatchLoader:
+    """Cross-modal MoCo pairing (--pairing enh_cxr): q = Enh view, k = CXR
+    view, each with its own full host transform stack and normalization
+    (Dataset_covid_LEnh_RCXR_2norms, loader.py:201-258; ``--per-enh`` < 1
+    gives the probabilistic mix variant :261-328). Host-transformed floats
+    — the per-sample flavor choice means normalization cannot be deferred
+    to the device."""
+    def tf(img_type, seed_off):
+        return ht.ChexpertTransform(
+            img_size=args.img_size, crop=args.crop, img_type=img_type,
+            training=True, maintain_ratio=args.maintain_ratio,
+            rotate_deg=float(args.rotate), seed=seed + seed_off)
+    ds = datasets.CovidEnhCxrDataset(
+        manifest_path, tf("data", 0), tf("Train_Mix", 1),
+        per_enh=getattr(args, "per_enh", 1.0), seed=seed)
+    return pipeline.BatchLoader(ds, args.batch_size, shuffle=True,
+                                seed=seed, drop_last=True,
+                                num_workers=args.workers)
+
+
+def maybe_device_store(args, manifest_path: str, folder: str, *,
+                       fourch: bool = False, paired: bool = False,
+                       n_dev: int = 1, mesh=None, seed: int = 0):
+    """HBM-resident canvas store when eligible, else None.
+
+    Eligible = device-aug square-resize policy (no --maintain-ratio:
+    pre-crop canvases are fixed (img_size, img_size)), single device, and
+    the whole dataset fits --device-store-mb. The host then decodes each
+    image exactly once (fill pass); every epoch after that is on-device
+    gather + random crop + fused augmentation with zero per-step H2D —
+    the TPU-first replacement for the reference's num_workers=12 feed
+    (pretrain main :425-442), measured transfer-bound on weak hosts
+    (docs/PERF.md)."""
+    from mfvit_tpu.data import device_store
+    if (not args.aug_device or args.maintain_ratio
+            or getattr(args, "device_store_mb", 0) <= 0):
+        return None
+    if n_dev > 1 and (mesh is None or args.batch_size % n_dev):
+        return None
+    chans = 4 if fourch else (6 if paired else 3)  # paired: 2 flavors
+    fill_tf = ht.CanvasTransform(img_size=args.img_size, training=False,
+                                 maintain_ratio=False, seed=seed)
+    if fourch:
+        ds = datasets.Covid4chDataset(manifest_path, fill_tf,
+                                      folder_cxr=folder)
+    elif paired:
+        ds = datasets.CovidPairedDataset(manifest_path, fill_tf, fill_tf,
+                                         folder_cxr=folder)
+    else:
+        ds = datasets.CovidDataset(folder, manifest_path, fill_tf)
+    if not device_store.fits(len(ds), args.img_size, chans,
+                             args.device_store_mb << 20):
+        return None
+    store = device_store.fill_from_dataset(
+        ds, batch_size=args.batch_size, seed=seed,
+        num_workers=args.workers, mesh=mesh if n_dev > 1 else None)
+    print(f"=> device canvas store: {store.n} samples "
+          f"({store.nbytes >> 20} MB) resident in HBM; "
+          "epochs run host-free")
+    return store
 
 
 def make_covid_loader(args, manifest_path: str, folder: str, *,

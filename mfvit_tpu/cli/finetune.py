@@ -113,6 +113,14 @@ def train_one_draw_fn(args, cfg):
                                       training=False, seed=0)
         sl = common.make_covid_loader(args, test_man, args.folder,
                                       training=False, seed=0)
+        mesh, n_dev = common.setup_mesh(args)
+        # HBM-resident canvas store: epoch >= 2 trains with zero host
+        # work and zero per-step H2D (falls back to streaming when
+        # ineligible — see common.maybe_device_store)
+        store = common.maybe_device_store(args, train_man, args.folder,
+                                          n_dev=n_dev, mesh=mesh, seed=draw)
+        if store is not None:
+            tl = store
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
@@ -128,7 +136,6 @@ def train_one_draw_fn(args, cfg):
             cfg, tx, compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend)
         opt_state = tx.init(params)
-        mesh, n_dev = common.setup_mesh(args)
         params = common.maybe_replicate(params, mesh, n_dev)
         opt_state = common.maybe_replicate(opt_state, mesh, n_dev)
 
@@ -157,11 +164,22 @@ def train_one_draw_fn(args, cfg):
             timer = profiler.StepTimer(steps_per_epoch,
                                        prefix=f"Epoch: [{epoch}]",
                                        extra_meters=[ep_loss])
-            for i, (canv, labels) in enumerate(
-                    pipeline.device_prefetch(iter(tl), sharding=shard)):
+            batch_iter = (iter(tl) if store is not None else
+                          pipeline.device_prefetch(iter(tl),
+                                                   sharding=shard))
+            for i, (canv, labels) in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, k_b = jax.random.split(k_aug)
-                if args.aug_device:
+                if store is not None:
+                    crop = args.crop or args.img_size
+                    if crop < args.img_size:
+                        k_b, kc = jax.random.split(k_b)
+                        canv = device_aug.random_crop_batch(kc, canv, crop)
+                    x = device_aug.augment_batch(
+                        k_b, canv, img_type=args.folder,
+                        training=True, rotate_deg=float(args.rotate),
+                        out_dtype=common.compute_dtype(args))
+                elif args.aug_device:
                     x = device_aug.augment_batch(
                         k_b, canv, img_type=args.folder,
                         training=True, rotate_deg=float(args.rotate),

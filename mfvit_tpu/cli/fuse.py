@@ -125,6 +125,13 @@ def train_one_draw_fn(args, cfg):
                                       paired=True, seed=0)
         sl = common.make_covid_loader(args, test_man, "data", training=False,
                                       paired=True, seed=0)
+        mesh, n_dev = common.setup_mesh(args)
+        # HBM-resident paired canvas store (see common.maybe_device_store)
+        store = common.maybe_device_store(args, train_man, "data",
+                                          paired=True, n_dev=n_dev, mesh=mesh,
+                                          seed=draw)
+        if store is not None:
+            tl = store
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
@@ -138,10 +145,10 @@ def train_one_draw_fn(args, cfg):
                                    trainable_mask=mask)
         train_step, eval_step = steps.make_fusion_steps(
             cfg, tx, heads=args.fusion_heads,
+            freeze_backbones=not args.semi_supervised,
             compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend)
         opt_state = tx.init(params)
-        mesh, n_dev = common.setup_mesh(args)
         params = common.maybe_replicate(params, mesh, n_dev)
         opt_state = common.maybe_replicate(opt_state, mesh, n_dev)
 
@@ -163,11 +170,27 @@ def train_one_draw_fn(args, cfg):
             timer = profiler.StepTimer(steps_per_epoch,
                                        prefix=f"Epoch: [{epoch}]",
                                        extra_meters=[ep_loss])
-            for i, (cxr, enh, labels) in enumerate(pipeline.device_prefetch(
-                    iter(tl), sharding=shard)):
+            batch_iter = (iter(tl) if store is not None else
+                          pipeline.device_prefetch(iter(tl),
+                                                   sharding=shard))
+            for i, (cxr, enh, labels) in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, ka, kb = jax.random.split(k_aug, 3)
-                if args.aug_device:
+                if store is not None:
+                    crop = args.crop or args.img_size
+                    if crop < args.img_size:
+                        ka, kca = jax.random.split(ka)
+                        kb, kcb = jax.random.split(kb)
+                        cxr = device_aug.random_crop_batch(kca, cxr, crop)
+                        enh = device_aug.random_crop_batch(kcb, enh, crop)
+                    xc = device_aug.augment_batch(
+                        ka, cxr, img_type="data", training=True,
+                        rotate_deg=float(args.rotate), out_dtype=dt)
+                    xe = device_aug.augment_batch(
+                        kb, enh, img_type="Train_Mix",
+                        training=True, rotate_deg=float(args.rotate),
+                        out_dtype=dt)
+                elif args.aug_device:
                     xc = device_aug.augment_batch(
                         ka, cxr, img_type="data", training=True,
                         rotate_deg=float(args.rotate), out_dtype=dt)

@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false",
                    help="the builder_..._noprediction_q variant")
     p.add_argument("--folder", default="data")
+    p.add_argument("--pairing", default="same",
+                   choices=["same", "enh_cxr"],
+                   help="enh_cxr: cross-modal q=Enh / k=CXR views "
+                        "(Dataset_covid_LEnh_RCXR_2norms, loader.py:201)")
+    p.add_argument("--per-enh", dest="per_enh", type=float, default=1.0,
+                   help="P(q is the Enh image) for --pairing enh_cxr "
+                        "(the mix variant, loader.py:261-328)")
     p.add_argument("--save-epoch", type=int, default=30)
     p.set_defaults(epochs=100, lr=0.6, batch_size=16)
     return p
@@ -84,7 +91,13 @@ def train_one_draw_fn(args, vit_cfg):
                                          labeled=False)
         byol = args.aug_setting in ("moco_v1", "moco_v2", "aug1", "aug2")
         fourch = args.in_chans == 4
-        if byol:
+        cross_modal = args.pairing == "enh_cxr"
+        if cross_modal:
+            if fourch or byol:
+                raise ValueError("--pairing enh_cxr is a 3-channel "
+                                 "chexpert-stack variant")
+            tl = common.make_enh_cxr_ssl_loader(args, man, seed=draw)
+        elif byol:
             if fourch:
                 raise ValueError("--in-chans 4 requires --aug-setting "
                                  "chexpert (device-aug canvases)")
@@ -98,7 +111,7 @@ def train_one_draw_fn(args, vit_cfg):
             tl = common.make_covid_loader(args, man, args.folder,
                                           training=True, fourch=fourch,
                                           ssl_two_views=True, seed=draw)
-        host_transformed = byol or not args.aug_device
+        host_transformed = byol or cross_modal or not args.aug_device
         steps_per_epoch = max(len(tl), 1)
 
         mesh, n_dev = common.setup_mesh(args)
@@ -106,6 +119,15 @@ def train_one_draw_fn(args, vit_cfg):
             # not assert: the queue invariant must survive python -O
             raise ValueError(
                 f"K={cfg.K} must be divisible by batch {args.batch_size}")
+
+        store = None
+        if not host_transformed:
+            store = common.maybe_device_store(args, man, args.folder,
+                                              fourch=fourch, n_dev=n_dev, mesh=mesh,
+                                              seed=draw)
+        if store is not None:
+            tl = store
+            steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
                                        cos=args.cos, entry="pretrain")
@@ -165,15 +187,35 @@ def train_one_draw_fn(args, vit_cfg):
             timer = profiler.StepTimer(steps_per_epoch,
                                        prefix=f"Epoch: [{epoch}]",
                                        extra_meters=[ep_loss])
-            for i, batch in enumerate(
-                    pipeline.device_prefetch(iter(tl), sharding=shard)):
+            batch_iter = (iter(tl) if store is not None else
+                          pipeline.device_prefetch(iter(tl),
+                                                   sharding=shard))
+            for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 it_epoch = epoch + i / steps_per_epoch
                 m = (float(optim.moco_momentum(it_epoch, args.moco_m,
                                                args.epochs))
                      if args.moco_m_cos else args.moco_m)
                 k_aug, k_b = jax.random.split(k_aug)
-                if host_transformed:
+                if store is not None:
+                    # HBM-resident pre-crop canvases: draw each view's
+                    # crop window on-device (TwoCropsTransform semantics)
+                    canv, _labels = batch
+                    crop = args.crop or args.img_size
+                    if crop < args.img_size:
+                        k_b, kc1, kc2 = jax.random.split(k_b, 3)
+                        canv_q = device_aug.random_crop_batch(kc1, canv,
+                                                              crop)
+                        canv_k = device_aug.random_crop_batch(kc2, canv,
+                                                              crop)
+                    else:
+                        canv_q = canv_k = canv
+                    q, k_img = device_aug.augment_two_views(
+                        k_b, canv_q, canv_k,
+                        img_type="4ch" if fourch else args.folder,
+                        rotate_deg=float(args.rotate),
+                        out_dtype=common.compute_dtype(args))
+                elif host_transformed:
                     q, k_img, _labels = (
                         b.astype(common.compute_dtype(args)) for b in batch)
                 else:

@@ -185,13 +185,15 @@ class CovidEnhCxrDataset(_EpochMixin):
     def __init__(self, img_csv: str, transform_cxr: Transform,
                  transform_enh: Transform, per_enh: float = 1.0,
                  seed: Optional[int] = 0, folder_cxr: str = "data",
-                 folder_enh: str = "Train_Mix"):
+                 folder_enh: str = "Train_Mix",
+                 decode: Optional[Transform] = None):
         self.manifest = parse_covid_paired(img_csv, folder_cxr, folder_enh)
         self.transform_cxr = transform_cxr
         self.transform_enh = transform_enh
         self.per_enh = per_enh
         self.seed = seed
         self._rng = random.Random(seed)
+        self.decode = decode or ht.decode_bgr
 
     def __len__(self):
         return len(self.manifest)

@@ -50,6 +50,26 @@ def _rotate_nearest(imgs: jnp.ndarray, angles_rad: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid[..., None], out, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("crop",))
+def random_crop_batch(key, canvases: jnp.ndarray, crop: int) -> jnp.ndarray:
+    """Per-sample uniform random crop on-device (torchvision RandomCrop
+    semantics: top ~ U[0, H-crop], left ~ U[0, W-crop] inclusive — the
+    host twin is host_transforms.random_crop). Used by the HBM-resident
+    canvas store, where the pre-crop canvases never leave the device."""
+    B, H, W, C = canvases.shape
+    if crop > H or crop > W:
+        raise ValueError(f"random_crop_batch: crop {crop} > canvas "
+                         f"({H}, {W})")
+    ky, kx = jax.random.split(key)
+    tops = jax.random.randint(ky, (B,), 0, H - crop + 1)
+    lefts = jax.random.randint(kx, (B,), 0, W - crop + 1)
+
+    def one(img, t, left):
+        return jax.lax.dynamic_slice(img, (t, left, 0), (crop, crop, C))
+
+    return jax.vmap(one)(canvases, tops, lefts)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("img_type", "training", "rotate_deg", "hflip", "out_dtype"),

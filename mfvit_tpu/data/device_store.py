@@ -1,0 +1,180 @@
+"""HBM-resident canvas store: epoch >= 2 training with ZERO host work and
+ZERO host->device transfer per step.
+
+Measured with tools/bench_train_loop.py, the real-decode training loop on
+a weak host is TRANSFER/host-bound, not chip-bound: the chip trains
+ViT-S at thousands of img/s while the host feed delivers ~100-300. The
+reference's answer is ``DataLoader(num_workers=12, pin_memory=True)``
+(pretrain main :425-442) — more host processes. The TPU-first answer is
+to stop re-shipping the dataset every epoch: vision-scale uint8 canvases
+are small (224x224x3 = 147 KB/image, ~7k images per GB of HBM), so the
+deterministic decode+resize output of EVERY image is device_put exactly
+once, and each epoch draws shuffled batches by on-device gather followed
+by the on-device random crop (device_aug.random_crop_batch) and the
+fused flip/rotate/normalize augmentation. Only a per-step index vector
+(4 bytes/sample) crosses the host->device boundary.
+
+Randomness semantics match the host path: shuffle order is
+``np.random.default_rng(seed + epoch)`` like BatchLoader, and crop
+offsets are uniform-inclusive like torchvision RandomCrop. Requires
+FIXED-SIZE pre-crop canvases — i.e. the ``maintain_ratio=False``
+resize_square policy (the CLI default); variable-aspect canvases fall
+back to host streaming.
+"""
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class DeviceCanvasStore:
+    """Device-resident uint8 canvases + (N,) labels.
+
+    ``canvases`` is one (N, S, S, C) array or a tuple of them (the paired
+    CXR/Enh fusion feed); batches yield the same arity:
+    ``(canv, label)`` or ``(canv_a, canv_b, ..., label)``.
+
+    With a ``mesh`` (data axis of d devices), the table is SHARDED over
+    its rows: device k owns a contiguous shard and each epoch shuffles
+    its own shard locally (seeded per (seed, epoch, k)). This is the
+    resident equivalent of the standard sharded input pipeline on TPU
+    pods (and of the reference's DistributedSampler partition, pretrain
+    main :425-442): every sample is seen exactly once per epoch, batch
+    composition is stratified by shard, and batches come out already
+    sharded over the data axis — no per-step H2D beyond the local index
+    vectors, no cross-device traffic at all."""
+
+    def __init__(self, canvases, labels, *, batch_size: int,
+                 seed: int = 0, drop_last: bool = True,
+                 mesh: Optional[Mesh] = None):
+        self._multi = isinstance(canvases, (tuple, list))
+        self._canvs = tuple(canvases) if self._multi else (canvases,)
+        self.canvases = self._canvs[0] if not self._multi else self._canvs
+        self.labels = labels
+        self.n = int(self._canvs[0].shape[0])
+        self.bs = batch_size
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.mesh = mesh
+        self.n_dev = int(np.prod(mesh.devices.shape)) if mesh else 1
+        if mesh is not None:
+            if self.n % self.n_dev or self.bs % self.n_dev:
+                raise ValueError(
+                    f"sharded store needs n ({self.n}) and batch "
+                    f"({self.bs}) divisible by the mesh size "
+                    f"({self.n_dev}); pad the fill dataset")
+            self._gather = _make_sharded_gather(mesh, len(self._canvs))
+
+    def __len__(self) -> int:
+        return (self.n // self.bs if self.drop_last
+                else -(-self.n // self.bs))
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(c.nbytes) for c in self._canvs)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Shuffled device-resident batches for ``self.epoch`` (then
+        auto-advances, mirroring BatchLoader)."""
+        epoch, self.epoch = self.epoch, self.epoch + 1
+        if self.mesh is not None:
+            yield from self._iter_sharded(epoch)
+            return
+        idx = np.arange(self.n)
+        np.random.default_rng(self.seed + epoch).shuffle(idx)
+        stop = self.n - (self.n % self.bs if self.drop_last else 0)
+        for s in range(0, stop, self.bs):
+            chunk = idx[s:s + self.bs]
+            if len(chunk) < self.bs:
+                chunk = np.concatenate(
+                    [chunk, idx[: self.bs - len(chunk)]])
+            di = jnp.asarray(chunk)  # the only per-step H2D: 4 B/sample
+            yield tuple(jnp.take(c, di, axis=0) for c in self._canvs) + (
+                jnp.take(self.labels, di, axis=0),)
+
+    def _iter_sharded(self, epoch: int):
+        d, m = self.n_dev, self.n // self.n_dev
+        local_bs = self.bs // d
+        # per-shard local permutation, seeded per (seed, epoch, shard)
+        perms = [np.random.default_rng((self.seed, epoch, k)).permutation(m)
+                 for k in range(d)]
+        steps = m // local_bs if self.drop_last else -(-m // local_bs)
+        ispec = NamedSharding(self.mesh, P("data"))
+        for s in range(steps):
+            chunks = []
+            for k in range(d):
+                c = perms[k][s * local_bs:(s + 1) * local_bs]
+                if len(c) < local_bs:
+                    c = np.concatenate([c, perms[k][: local_bs - len(c)]])
+                chunks.append(c)
+            # device k's slice holds LOCAL row ids into its own shard
+            gidx = jax.device_put(
+                np.concatenate(chunks).astype(np.int32), ispec)
+            out = self._gather(*self._canvs, self.labels, gidx)
+            yield tuple(out[:-1]) + (out[-1],)
+
+
+def _make_sharded_gather(mesh: Mesh, n_canv: int):
+    """Jitted per-shard gather: every device takes its local index slice
+    from its own table shard — zero cross-device communication."""
+    specs = (P("data"),) * (n_canv + 2)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=specs,
+                       out_specs=(P("data"),) * (n_canv + 1))
+    def gather(*args):
+        *tables, labels, idx = args
+        return tuple(jnp.take(t, idx, axis=0) for t in tables) + (
+            jnp.take(labels, idx, axis=0),)
+
+    return gather
+
+
+def fits(n_images: int, img_size: int, chans: int,
+         budget_bytes: int) -> bool:
+    return n_images * img_size * img_size * chans <= budget_bytes
+
+
+def fill_from_dataset(ds, *, batch_size: int, seed: int = 0,
+                      num_workers: int = 8, drop_last: bool = True,
+                      mesh: Optional[Mesh] = None) -> DeviceCanvasStore:
+    """One host pass over ``ds`` (threaded decode, like BatchLoader's
+    workers) -> DeviceCanvasStore. ``ds[i]`` must yield a fixed-size
+    uint8 canvas + label — use a DETERMINISTIC transform (eval-style
+    CanvasTransform with crop=img_size) so the store holds the pre-crop
+    canvas; per-epoch crop/flip/rotation randomness is drawn on-device
+    afterwards."""
+    with ThreadPoolExecutor(num_workers) as pool:
+        samples = list(pool.map(ds.__getitem__, range(len(ds))))
+    n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if n_dev > 1 and len(samples) % n_dev:
+        # pad by wrapping so the table shards evenly (the reference's
+        # DistributedSampler pads the same way)
+        samples = samples + samples[: n_dev - len(samples) % n_dev]
+    sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
+    n_canv = len(samples[0]) - 1 if isinstance(samples[0], tuple) else 1
+    canvs = []
+    for j in range(n_canv):
+        c = np.stack([s[j] for s in samples])
+        if c.dtype != np.uint8:
+            raise ValueError("device store expects uint8 canvases (got "
+                             f"{c.dtype}); host-transformed float paths "
+                             "must stream")
+        canvs.append(jax.device_put(c, sharding))
+    lab = np.asarray([s[-1] for s in samples])
+    return DeviceCanvasStore(
+        canvs[0] if n_canv == 1 else tuple(canvs),
+        jax.device_put(lab, sharding),
+        batch_size=batch_size, seed=seed, drop_last=drop_last, mesh=mesh)

@@ -71,13 +71,22 @@ def make_classifier_steps(cfg: vit_mod.ViTConfig,
 def make_fusion_steps(cfg: vit_mod.ViTConfig,
                       tx: optax.GradientTransformation, *,
                       heads: int = 3, compute_dtype=jnp.bfloat16,
-                      attn_backend: Optional[str] = None
+                      attn_backend: Optional[str] = None,
+                      freeze_backbones: bool = False
                       ) -> Tuple[Callable, Callable]:
     """(train_step, eval_step) for MF-ViT CA.
 
     ``params`` is ``{"cxr": vit_params, "enh": vit_params, "fus":
     fusion_params}``. The training/eval decision logits are
-    ``fused + logits_cxr + logits_enh`` (fusion main :868)."""
+    ``fused + logits_cxr + logits_enh`` (fusion main :868).
+
+    ``freeze_backbones`` is the LP fusion mode (fusion main :297-313
+    sets ``requires_grad=False`` on everything but each branch's head):
+    gradients stop at the token/feature boundary, so XLA never builds
+    the backward through the two ViT bodies — the step costs one forward
+    plus the tiny head backward instead of ~3 forwards. The trainable
+    set (branch heads + fusion) matches the optimizer mask; their
+    gradients are identical to the unfrozen formulation."""
 
     def forward(params, img_cxr, img_enh):
         return fusion_mod.fused_forward(
@@ -85,8 +94,27 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
             cfg, heads=heads, compute_dtype=compute_dtype,
             attn_backend=attn_backend)
 
+    def forward_frozen(params, img_cxr, img_enh):
+        from mfvit_tpu.nn.layers import linear
+
+        def branch(p, img):
+            body = {k: v for k, v in p.items() if k != "head"}
+            tokens, cls = vit_mod.apply(
+                body, img, cfg, compute_dtype=compute_dtype,
+                attn_backend=attn_backend, return_features=True)
+            tokens = jax.lax.stop_gradient(tokens)
+            cls = jax.lax.stop_gradient(cls)
+            return tokens, linear(p["head"], cls)
+
+        tok_c, lc = branch(params["cxr"], img_cxr)
+        tok_e, le = branch(params["enh"], img_enh)
+        fused = fusion_mod.apply(params["fus"], tok_c, tok_e, heads,
+                                 attn_backend=attn_backend)
+        return fused, lc, le
+
     def loss_fn(params, img_cxr, img_enh, labels):
-        fused, lc, le = forward(params, img_cxr, img_enh)
+        fwd = forward_frozen if freeze_backbones else forward
+        fused, lc, le = fwd(params, img_cxr, img_enh)
         out = fused + lc + le
         return softmax_ce(out, labels), out
 

@@ -519,3 +519,90 @@ def test_loader_with_cache_is_identical(tmp_path):
         for (xa, la), (xb, lb) in zip(a, b):
             np.testing.assert_array_equal(xa, xb)
             np.testing.assert_array_equal(la, lb)
+
+
+def test_random_crop_batch_matches_host_semantics():
+    """Device random crop: every output is a contiguous (crop, crop)
+    window of its source, offsets cover the full inclusive range."""
+    from mfvit_tpu.data import device_aug
+    rng = np.random.default_rng(0)
+    canv = jnp.asarray(rng.integers(0, 255, (16, 12, 14, 3), np.uint8))
+    out = device_aug.random_crop_batch(jax.random.PRNGKey(0), canv, 8)
+    assert out.shape == (16, 8, 8, 3)
+    src = np.asarray(canv)
+    o = np.asarray(out)
+    seen = set()
+    for b in range(16):
+        found = False
+        for t in range(12 - 8 + 1):
+            for le in range(14 - 8 + 1):
+                if np.array_equal(o[b], src[b, t:t + 8, le:le + 8]):
+                    seen.add((t, le))
+                    found = True
+        assert found, f"sample {b} is not a window of its source"
+    assert len(seen) > 3  # offsets actually vary
+
+
+def test_device_canvas_store_roundtrip_and_shuffle():
+    from mfvit_tpu.data import device_store
+
+    class _CanvasDS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return (np.full((6, 6, 3), i, np.uint8), np.int32(i % 3))
+
+    store = device_store.fill_from_dataset(_CanvasDS(), batch_size=4,
+                                           seed=5)
+    assert len(store) == 2
+    store.set_epoch(0)
+    e0 = [(np.asarray(c), np.asarray(l)) for c, l in store]
+    assert all(c.shape == (4, 6, 6, 3) for c, _ in e0)
+    # labels consistent with canvases (gather uses the same indices)
+    for c, l in e0:
+        np.testing.assert_array_equal(c[:, 0, 0, 0] % 3, l)
+    # same epoch -> same order (determinism); next epoch -> different
+    store.set_epoch(0)
+    e0b = [(np.asarray(c), np.asarray(l)) for c, l in store]
+    np.testing.assert_array_equal(e0[0][0], e0b[0][0])
+    e1 = [(np.asarray(c), np.asarray(l)) for c, l in store]  # epoch 1
+    assert not np.array_equal(e0[0][0], e1[0][0])
+    # BatchLoader shuffle parity: same rng stream
+    idx = np.arange(10)
+    np.random.default_rng(5 + 0).shuffle(idx)
+    np.testing.assert_array_equal(e0[0][0][:, 0, 0, 0], idx[:4])
+
+
+def test_device_canvas_store_sharded_over_mesh():
+    """Sharded store (8-device data mesh): the table rows live
+    shard-local, every sample appears exactly once per epoch, batches
+    come out sharded over the data axis, per-shard shuffles differ
+    across epochs."""
+    from mfvit_tpu.data import device_store
+    from mfvit_tpu.parallel import mesh as pmesh
+
+    class _CanvasDS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return (np.full((4, 4, 3), i, np.uint8), np.int32(i % 3))
+
+    m = pmesh.make_mesh(8)
+    store = device_store.fill_from_dataset(_CanvasDS(), batch_size=16,
+                                           seed=3, mesh=m)
+    assert len(store) == 2
+    store.set_epoch(0)
+    seen = []
+    for canv, lab in store:
+        assert canv.shape == (16, 4, 4, 3)
+        # batch is sharded over the data axis
+        assert canv.sharding.spec == jax.sharding.PartitionSpec("data")
+        np.testing.assert_array_equal(np.asarray(canv)[:, 0, 0, 0] % 3,
+                                      np.asarray(lab))
+        seen.extend(np.asarray(canv)[:, 0, 0, 0].tolist())
+    assert sorted(seen) == list(range(32))  # exactly once per epoch
+    e1 = [np.asarray(c)[:, 0, 0, 0].tolist() for c, _ in store]  # epoch 1
+    assert sorted(sum(e1, [])) == list(range(32))
+    assert sum(e1, []) != seen  # order changes across epochs

@@ -326,3 +326,49 @@ def test_batchnorm_unbiased_running_var():
                                tbn.running_var.numpy(), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(newp["mean"]),
                                tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_fusion_freeze_backbones_matches_masked_step(rng):
+    """LP fusion mode: freeze_backbones stops gradients at the feature
+    boundary (reference fusion main :297-313 requires_grad=False). The
+    resulting update must EQUAL the mask-only formulation's — identical
+    trainable gradients, frozen leaves untouched — while XLA skips the
+    whole ViT-body backward."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {
+        "cxr": vit.init(k1, TINY, num_classes=3),
+        "enh": vit.init(k2, TINY, num_classes=3),
+        "fus": fusion.init(k3, num_classes=3, dim=TINY.dim, heads=2),
+    }
+    mask = {
+        "cxr": optim.head_only_mask(params["cxr"]),
+        "enh": optim.head_only_mask(params["enh"]),
+        "fus": jax.tree.map(lambda _: True, params["fus"]),
+    }
+    imgs = jax.random.normal(jax.random.PRNGKey(6), (4, 32, 32, 3))
+    labels = jnp.array([0, 1, 2, 0])
+
+    outs = {}
+    for frozen in (False, True):
+        tx = optim.build_optimizer("sgd", 0.1, trainable_mask=mask)
+        p = jax.tree.map(jnp.copy, params)
+        train_step, _ = steps.make_fusion_steps(
+            TINY, tx, heads=2, compute_dtype=jnp.float32,
+            attn_backend="xla", freeze_backbones=frozen)
+        p, _, loss, out = train_step(p, tx.init(p), imgs, imgs, labels)
+        outs[frozen] = (p, float(loss), np.asarray(out))
+
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-6)
+    np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=1e-5,
+                               atol=1e-6)
+    flat_t, _ = jax.tree_util.tree_flatten_with_path(outs[True][0])
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(outs[False][0])
+    for (path, a), (_, b) in zip(flat_t, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
+    # frozen body leaves are bit-identical to the originals
+    body = {k: v for k, v in outs[True][0]["cxr"].items() if k != "head"}
+    orig = {k: v for k, v in params["cxr"].items() if k != "head"}
+    for a, b in zip(jax.tree.leaves(body), jax.tree.leaves(orig)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -19,7 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mfvit_tpu.data import datasets, device_aug, host_transforms as ht
+from mfvit_tpu.data import datasets, device_aug, device_store
+from mfvit_tpu.data import host_transforms as ht
 from mfvit_tpu.data import manifest as mf, pipeline
 from mfvit_tpu.nn import vit
 from mfvit_tpu.train import optim, steps
@@ -104,3 +105,16 @@ cached = make_loader(ht.DecodeResizeCache(224, maintain_ratio=True))
 v_cache = run(True, cached)
 print(f"train loop prefetch + canvas cache: {v_cache:.0f} img/s")
 print(f"cache speedup over uncached: {v_cache / v_pre:.3f}x")
+
+# HBM-resident canvas store: the host feeds each image ONCE (fill pass),
+# then every epoch is gather + on-device crop/aug — zero per-step H2D.
+fill_tf = ht.CanvasTransform(img_size=224, training=False,
+                             maintain_ratio=False, seed=0)
+sds = datasets.CovidDataset("data", f"{root}/man.txt", fill_tf)
+t0f = time.perf_counter()
+store = device_store.fill_from_dataset(sds, batch_size=B, seed=0)
+print(f"device store fill (one pass incl. H2D): "
+      f"{time.perf_counter() - t0f:.1f}s for {len(sds)} imgs")
+v_store = run(False, store)
+print(f"train loop HBM-resident store:   {v_store:.0f} img/s")
+print(f"store speedup over host feed: {v_store / v_pre:.2f}x")

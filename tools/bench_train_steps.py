@@ -60,19 +60,27 @@ def bench_ft(arch="vit_small", B=256):
     timeit(arch, train_step, (params, state), (img, lab))
 
 
-def bench_fusion(B=256):
+def bench_fusion(B=256, freeze=False):
     cfg = vit.get_config("vit_small")
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     fparams = {"cxr": vit.init(k1, cfg, num_classes=3),
                "enh": vit.init(k2, cfg, num_classes=3),
                "fus": fusion.init(k3, num_classes=3)}
-    tx = optim.build_optimizer("adam", 1e-4)
-    ftrain, _ = steps.make_fusion_steps(cfg, tx)
+    mask = None
+    if freeze:
+        # the production LP protocol: ViT bodies frozen (fusion main
+        # :297-313), backward stops at the feature boundary
+        mask = {"cxr": optim.head_only_mask(fparams["cxr"]),
+                "enh": optim.head_only_mask(fparams["enh"]),
+                "fus": jax.tree.map(lambda _: True, fparams["fus"])}
+    tx = optim.build_optimizer("adam", 1e-4, trainable_mask=mask)
+    ftrain, _ = steps.make_fusion_steps(cfg, tx, freeze_backbones=freeze)
     state = tx.init(fparams)
     img = jax.random.normal(jax.random.PRNGKey(1), (B, 224, 224, 3),
                             jnp.bfloat16)
     lab = jnp.zeros((B,), jnp.int32)
-    timeit("fusion", ftrain, (fparams, state), (img, img, lab))
+    timeit("fusion_lp" if freeze else "fusion", ftrain, (fparams, state),
+           (img, img, lab))
 
 
 def bench_moco(B=256):
@@ -94,11 +102,14 @@ def bench_moco(B=256):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["ft", "fusion", "moco", "vit_base"]
+    which = sys.argv[1:] or ["ft", "fusion", "fusion_lp", "moco",
+                             "vit_base"]
     if "ft" in which:
         bench_ft()
     if "fusion" in which:
         bench_fusion()
+    if "fusion_lp" in which:
+        bench_fusion(freeze=True)
     if "moco" in which:
         bench_moco()
     if "vit_base" in which:
