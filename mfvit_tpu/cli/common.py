@@ -212,6 +212,39 @@ def maybe_device_store(args, manifest_path: str, folder: str, *,
     return store
 
 
+def maybe_eval_device_store(args, manifest_path: str, folder: str, *,
+                            paired: bool = False, seed: int = 0):
+    """Eval twin of maybe_device_store: deterministic post-center-crop
+    canvases resident in HBM, fixed iteration order, wrap-padded final
+    batch trimmed by the Evaluator via ``len(store.ds)``. Eligible for
+    ANY resize policy (the eval center-crop is always fixed-size);
+    finetune re-evaluates val EVERY epoch, so this removes the
+    per-epoch host feed entirely. Table lives on the default device;
+    multi-device eval re-shards per batch in the eval runner."""
+    from mfvit_tpu.data import device_store
+    if (not args.aug_device or getattr(args, "device_store_mb", 0) <= 0):
+        return None
+    fill_tf = ht.CanvasTransform(img_size=args.img_size, crop=args.crop,
+                                 training=False,
+                                 maintain_ratio=args.maintain_ratio,
+                                 seed=seed)
+    if paired:
+        ds = datasets.CovidPairedDataset(manifest_path, fill_tf, fill_tf,
+                                         folder_cxr=folder)
+    else:
+        ds = datasets.CovidDataset(folder, manifest_path, fill_tf)
+    side = args.crop or args.img_size
+    if not device_store.fits(len(ds), side, 6 if paired else 3,
+                             args.device_store_mb << 20):
+        return None
+    store = device_store.fill_from_dataset(
+        ds, batch_size=args.batch_size, seed=seed, shuffle=False,
+        drop_last=False, num_workers=args.workers)
+    print(f"=> eval device canvas store: {store.n} samples "
+          f"({store.nbytes >> 20} MB) resident")
+    return store
+
+
 def make_covid_loader(args, manifest_path: str, folder: str, *,
                       training: bool, paired: bool = False,
                       fourch: bool = False, ssl_two_views: bool = False,

@@ -121,6 +121,10 @@ def train_one_draw_fn(args, cfg):
                                           n_dev=n_dev, mesh=mesh, seed=draw)
         if store is not None:
             tl = store
+        # val is evaluated EVERY epoch — keep its canvases resident too
+        vl = common.maybe_eval_device_store(args, val_man, args.folder) or vl
+        sl = common.maybe_eval_device_store(args, test_man,
+                                            args.folder) or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,

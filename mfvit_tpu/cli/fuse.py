@@ -132,6 +132,10 @@ def train_one_draw_fn(args, cfg):
                                           seed=draw)
         if store is not None:
             tl = store
+        vl = common.maybe_eval_device_store(args, val_man, "data",
+                                            paired=True) or vl
+        sl = common.maybe_eval_device_store(args, test_man, "data",
+                                            paired=True) or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,

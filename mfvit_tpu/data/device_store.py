@@ -35,6 +35,16 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+class _SizedView:
+    """Duck-types ``loader.ds`` for code that asks ``len(loader.ds)``."""
+
+    def __init__(self, n: int):
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+
 class DeviceCanvasStore:
     """Device-resident uint8 canvases + (N,) labels.
 
@@ -54,6 +64,7 @@ class DeviceCanvasStore:
 
     def __init__(self, canvases, labels, *, batch_size: int,
                  seed: int = 0, drop_last: bool = True,
+                 shuffle: bool = True, num_samples: Optional[int] = None,
                  mesh: Optional[Mesh] = None):
         self._multi = isinstance(canvases, (tuple, list))
         self._canvs = tuple(canvases) if self._multi else (canvases,)
@@ -63,6 +74,10 @@ class DeviceCanvasStore:
         self.bs = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        self.shuffle = shuffle
+        # true sample count before any shard padding — eval trims to it
+        self.num_samples = num_samples if num_samples is not None else self.n
+        self.ds = _SizedView(self.num_samples)  # len(loader.ds) duck-type
         self.epoch = 0
         self.mesh = mesh
         self.n_dev = int(np.prod(mesh.devices.shape)) if mesh else 1
@@ -93,13 +108,17 @@ class DeviceCanvasStore:
             yield from self._iter_sharded(epoch)
             return
         idx = np.arange(self.n)
-        np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
         stop = self.n - (self.n % self.bs if self.drop_last else 0)
         for s in range(0, stop, self.bs):
             chunk = idx[s:s + self.bs]
             if len(chunk) < self.bs:
-                chunk = np.concatenate(
-                    [chunk, idx[: self.bs - len(chunk)]])
+                # wrap-and-tile like BatchLoader.pad_final (works even
+                # when the whole dataset is smaller than one batch)
+                reps = -(-(self.bs - len(chunk)) // max(self.n, 1))
+                pad = np.tile(idx, reps)[: self.bs - len(chunk)]
+                chunk = np.concatenate([chunk, pad])
             di = jnp.asarray(chunk)  # the only per-step H2D: 4 B/sample
             yield tuple(jnp.take(c, di, axis=0) for c in self._canvs) + (
                 jnp.take(self.labels, di, axis=0),)
@@ -149,6 +168,7 @@ def fits(n_images: int, img_size: int, chans: int,
 
 def fill_from_dataset(ds, *, batch_size: int, seed: int = 0,
                       num_workers: int = 8, drop_last: bool = True,
+                      shuffle: bool = True,
                       mesh: Optional[Mesh] = None) -> DeviceCanvasStore:
     """One host pass over ``ds`` (threaded decode, like BatchLoader's
     workers) -> DeviceCanvasStore. ``ds[i]`` must yield a fixed-size
@@ -177,4 +197,5 @@ def fill_from_dataset(ds, *, batch_size: int, seed: int = 0,
     return DeviceCanvasStore(
         canvs[0] if n_canv == 1 else tuple(canvs),
         jax.device_put(lab, sharding),
-        batch_size=batch_size, seed=seed, drop_last=drop_last, mesh=mesh)
+        batch_size=batch_size, seed=seed, drop_last=drop_last,
+        shuffle=shuffle, num_samples=len(ds), mesh=mesh)

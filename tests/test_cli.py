@@ -390,3 +390,21 @@ def test_pretrain_cli_device_store_sharded(covid_root, capfd):
         "--semi-ratios", "1"])
     assert np.isfinite(results[0].extra["final_loss"])
     assert "device canvas store" in capfd.readouterr().out
+
+
+def test_pretrain_cli_4ch_device_store(covid_root, capfd):
+    """The 4-channel stacked input rides the device store too (fills via
+    Covid4chDataset, crops/augments 4ch canvases on-device)."""
+    from mfvit_tpu.cli import pretrain
+    out = covid_root / "exp_pre_4ch_store"
+    argv = [a for a in COMMON if a != "--maintain-ratio"]
+    results = pretrain.main(argv + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "store4ch",
+        "--mesh-devices", "1", "--in-chans", "4",
+        "-b", "8", "--epochs", "1", "--warmup-epochs", "0", "--cos",
+        "--lr", "1e-3", "--optimizer", "adamw", "--wd", "0.1",
+        "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "32",
+        "--semi-ratios", "1"])
+    assert np.isfinite(results[0].extra["final_loss"])
+    assert "device canvas store" in capfd.readouterr().out

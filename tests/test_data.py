@@ -606,3 +606,37 @@ def test_device_canvas_store_sharded_over_mesh():
     e1 = [np.asarray(c)[:, 0, 0, 0].tolist() for c, _ in store]  # epoch 1
     assert sorted(sum(e1, [])) == list(range(32))
     assert sum(e1, []) != seen  # order changes across epochs
+
+
+def test_eval_device_store_matches_batchloader(tmp_path):
+    """Eval store batches must be BIT-identical to the streaming eval
+    loader's (same deterministic canvases, same order, same wrap-pad) —
+    metrics are then trivially unchanged."""
+    import argparse
+
+    from mfvit_tpu.cli import common
+
+    os.makedirs(tmp_path / "imgs" / "data")
+    names = []
+    for i in range(5):
+        _write_img(str(tmp_path / "imgs" / "data" / f"e{i}.png"),
+                   70, 90, seed=i)
+        names.append(f"e{i}.png")
+    man = str(tmp_path / "man.txt")
+    mf.write_covid_manifest(man, str(tmp_path / "imgs"), names,
+                            [i % 3 for i in range(5)])
+    args = argparse.Namespace(
+        batch_size=2, img_size=32, crop=24, maintain_ratio=False,
+        aug_device=True, workers=2, rotate=0.0,
+        canvas_cache=False, canvas_cache_mb=0, device_store_mb=64)
+    vl = common.make_covid_loader(args, man, "data", training=False,
+                                  seed=0)
+    st = common.maybe_eval_device_store(args, man, "data")
+    assert st is not None
+    assert len(st.ds) == len(vl.ds) == 5
+    lb = [(np.asarray(c), np.asarray(l)) for c, l in vl]
+    sb = [(np.asarray(c), np.asarray(l)) for c, l in st]
+    assert len(lb) == len(sb)
+    for (lc, ll), (sc, sl) in zip(lb, sb):
+        np.testing.assert_array_equal(lc, sc)
+        np.testing.assert_array_equal(ll, sl)
