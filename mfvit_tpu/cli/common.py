@@ -76,10 +76,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    action="store_false", default=True,
                    help="disable the host decode+resize cache")
     p.add_argument("--device-store-mb", type=int, default=2048,
-                   help="HBM budget for the device-resident canvas store "
-                        "(epoch >= 2 needs zero host work / zero H2D); "
-                        "0 disables. Applies to single-device device-aug "
-                        "square-resize (no --maintain-ratio) runs")
+                   help="total HBM budget shared by all device-resident "
+                        "canvas stores of a run (train + val + test); "
+                        "epochs then run host-free after a one-time fill. "
+                        "0 disables. Training store: device-aug "
+                        "square-resize (no --maintain-ratio) runs, "
+                        "sharded over the mesh when multi-device; eval "
+                        "stores: any resize policy")
     p.add_argument("--mesh-devices", type=int, default=None,
                    help="#devices in the data mesh (default: all)")
     p.add_argument("--in-chans", dest="in_chans", type=int, default=3,
@@ -162,17 +165,38 @@ def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
             img_size=args.img_size, crop=args.crop, img_type=img_type,
             training=True, maintain_ratio=args.maintain_ratio,
             rotate_deg=float(args.rotate), seed=seed + seed_off)
+    decode = None
+    if getattr(args, "canvas_cache", True) and args.canvas_cache_mb > 0:
+        decode = ht.DecodeResizeCache(
+            args.img_size, args.maintain_ratio,
+            limit_bytes=args.canvas_cache_mb << 20)
     ds = datasets.CovidEnhCxrDataset(
         manifest_path, tf("data", 0), tf("Train_Mix", 1),
-        per_enh=getattr(args, "per_enh", 1.0), seed=seed)
+        per_enh=getattr(args, "per_enh", 1.0), seed=seed, decode=decode)
     return pipeline.BatchLoader(ds, args.batch_size, shuffle=True,
                                 seed=seed, drop_last=True,
                                 num_workers=args.workers)
 
 
+class StoreBudget:
+    """Shared HBM accounting for --device-store-mb: one budget covers
+    every store a run creates (train + val + test), so a CLI cannot pin
+    multiples of the configured limit."""
+
+    def __init__(self, mb: int):
+        self.left = mb << 20
+
+    def reserve(self, nbytes: int) -> bool:
+        if nbytes > self.left:
+            return False
+        self.left -= nbytes
+        return True
+
+
 def maybe_device_store(args, manifest_path: str, folder: str, *,
                        fourch: bool = False, paired: bool = False,
-                       n_dev: int = 1, mesh=None, seed: int = 0):
+                       n_dev: int = 1, mesh=None, seed: int = 0,
+                       budget: StoreBudget = None):
     """HBM-resident canvas store when eligible, else None.
 
     Eligible = device-aug square-resize policy (no --maintain-ratio:
@@ -200,8 +224,9 @@ def maybe_device_store(args, manifest_path: str, folder: str, *,
                                          folder_cxr=folder)
     else:
         ds = datasets.CovidDataset(folder, manifest_path, fill_tf)
-    if not device_store.fits(len(ds), args.img_size, chans,
-                             args.device_store_mb << 20):
+    if budget is None:
+        budget = StoreBudget(args.device_store_mb)
+    if not budget.reserve(len(ds) * args.img_size * args.img_size * chans):
         return None
     store = device_store.fill_from_dataset(
         ds, batch_size=args.batch_size, seed=seed,
@@ -213,7 +238,8 @@ def maybe_device_store(args, manifest_path: str, folder: str, *,
 
 
 def maybe_eval_device_store(args, manifest_path: str, folder: str, *,
-                            paired: bool = False, seed: int = 0):
+                            paired: bool = False, seed: int = 0,
+                            budget: StoreBudget = None):
     """Eval twin of maybe_device_store: deterministic post-center-crop
     canvases resident in HBM, fixed iteration order, wrap-padded final
     batch trimmed by the Evaluator via ``len(store.ds)``. Eligible for
@@ -234,8 +260,9 @@ def maybe_eval_device_store(args, manifest_path: str, folder: str, *,
     else:
         ds = datasets.CovidDataset(folder, manifest_path, fill_tf)
     side = args.crop or args.img_size
-    if not device_store.fits(len(ds), side, 6 if paired else 3,
-                             args.device_store_mb << 20):
+    if budget is None:
+        budget = StoreBudget(args.device_store_mb)
+    if not budget.reserve(len(ds) * side * side * (6 if paired else 3)):
         return None
     store = device_store.fill_from_dataset(
         ds, batch_size=args.batch_size, seed=seed, shuffle=False,

@@ -86,6 +86,19 @@ def evaluate(eval_step, params, loader, args, *, n_total: int,
 
 def train_one_draw_fn(args, cfg):
     val_man, test_man = mf.eval_manifest_paths(args.covid_ds)
+    # one HBM budget across ALL stores of the run; eval stores are
+    # draw-independent (deterministic canvases, fixed manifests) so they
+    # are built once and reused across the (ratio, draw) grid
+    store_budget = common.StoreBudget(getattr(args, "device_store_mb", 0))
+    eval_stores = {}
+
+    def get_eval_stores():
+        if "v" not in eval_stores:
+            eval_stores["v"] = common.maybe_eval_device_store(
+                args, val_man, args.folder, budget=store_budget)
+            eval_stores["s"] = common.maybe_eval_device_store(
+                args, test_man, args.folder, budget=store_budget)
+        return eval_stores["v"], eval_stores["s"]
 
     def train_one_draw(ratio, draw, sub_folder, writer):
         key = common.jax_key(args)
@@ -118,13 +131,13 @@ def train_one_draw_fn(args, cfg):
         # work and zero per-step H2D (falls back to streaming when
         # ineligible — see common.maybe_device_store)
         store = common.maybe_device_store(args, train_man, args.folder,
-                                          n_dev=n_dev, mesh=mesh, seed=draw)
+                                          n_dev=n_dev, mesh=mesh, seed=draw,
+                                          budget=store_budget)
         if store is not None:
             tl = store
         # val is evaluated EVERY epoch — keep its canvases resident too
-        vl = common.maybe_eval_device_store(args, val_man, args.folder) or vl
-        sl = common.maybe_eval_device_store(args, test_man,
-                                            args.folder) or sl
+        ev, es = get_eval_stores()
+        vl, sl = ev or vl, es or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
@@ -175,15 +188,12 @@ def train_one_draw_fn(args, cfg):
                 timer.data_ready()
                 k_aug, k_b = jax.random.split(k_aug)
                 if store is not None:
+                    # on-device crop prelude; store implies aug_device
                     crop = args.crop or args.img_size
                     if crop < args.img_size:
                         k_b, kc = jax.random.split(k_b)
                         canv = device_aug.random_crop_batch(kc, canv, crop)
-                    x = device_aug.augment_batch(
-                        k_b, canv, img_type=args.folder,
-                        training=True, rotate_deg=float(args.rotate),
-                        out_dtype=common.compute_dtype(args))
-                elif args.aug_device:
+                if args.aug_device:
                     x = device_aug.augment_batch(
                         k_b, canv, img_type=args.folder,
                         training=True, rotate_deg=float(args.rotate),

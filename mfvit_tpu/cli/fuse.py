@@ -81,6 +81,16 @@ def evaluate(eval_step, params, loader, args, *, n_total: int,
 
 def train_one_draw_fn(args, cfg):
     val_man, test_man = mf.eval_manifest_paths(args.covid_ds)
+    store_budget = common.StoreBudget(getattr(args, "device_store_mb", 0))
+    eval_stores = {}
+
+    def get_eval_stores():
+        if "v" not in eval_stores:
+            eval_stores["v"] = common.maybe_eval_device_store(
+                args, val_man, "data", paired=True, budget=store_budget)
+            eval_stores["s"] = common.maybe_eval_device_store(
+                args, test_man, "data", paired=True, budget=store_budget)
+        return eval_stores["v"], eval_stores["s"]
 
     def train_one_draw(ratio, draw, sub_folder, writer):
         key = jax.random.fold_in(common.jax_key(args), draw)
@@ -129,13 +139,11 @@ def train_one_draw_fn(args, cfg):
         # HBM-resident paired canvas store (see common.maybe_device_store)
         store = common.maybe_device_store(args, train_man, "data",
                                           paired=True, n_dev=n_dev, mesh=mesh,
-                                          seed=draw)
+                                          seed=draw, budget=store_budget)
         if store is not None:
             tl = store
-        vl = common.maybe_eval_device_store(args, val_man, "data",
-                                            paired=True) or vl
-        sl = common.maybe_eval_device_store(args, test_man, "data",
-                                            paired=True) or sl
+        ev, es = get_eval_stores()
+        vl, sl = ev or vl, es or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
@@ -181,20 +189,14 @@ def train_one_draw_fn(args, cfg):
                 timer.data_ready()
                 k_aug, ka, kb = jax.random.split(k_aug, 3)
                 if store is not None:
+                    # on-device crop prelude; store implies aug_device
                     crop = args.crop or args.img_size
                     if crop < args.img_size:
                         ka, kca = jax.random.split(ka)
                         kb, kcb = jax.random.split(kb)
                         cxr = device_aug.random_crop_batch(kca, cxr, crop)
                         enh = device_aug.random_crop_batch(kcb, enh, crop)
-                    xc = device_aug.augment_batch(
-                        ka, cxr, img_type="data", training=True,
-                        rotate_deg=float(args.rotate), out_dtype=dt)
-                    xe = device_aug.augment_batch(
-                        kb, enh, img_type="Train_Mix",
-                        training=True, rotate_deg=float(args.rotate),
-                        out_dtype=dt)
-                elif args.aug_device:
+                if args.aug_device:
                     xc = device_aug.augment_batch(
                         ka, cxr, img_type="data", training=True,
                         rotate_deg=float(args.rotate), out_dtype=dt)

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="P(q is the Enh image) for --pairing enh_cxr "
                         "(the mix variant, loader.py:261-328)")
     p.add_argument("--save-epoch", type=int, default=30)
+    p.add_argument("--export-torch", action="store_true",
+                   help="also write a reference-layout .pth.tar (module."
+                        "base_encoder.* + projector head) consumable by "
+                        "the PyTorch reference finetune --pretrained "
+                        "surgery (ViT archs)")
     p.set_defaults(epochs=100, lr=0.6, batch_size=16)
     return p
 
@@ -244,6 +249,15 @@ def train_one_draw_fn(args, vit_cfg):
                 ckpt_mod.save(str(sub_folder / f"checkpoint_{epoch:04d}"),
                               {"state": state, "opt_state": opt_state,
                                "epoch": jnp.asarray(epoch, jnp.int32)})
+        if args.export_torch:
+            if args.arch.startswith("resnet"):
+                print("--export-torch: resnet towers have no vits.py "
+                      "layout; skipping torch export")
+            else:
+                ckpt_mod.save_moco_torch_checkpoint(
+                    str(sub_folder / "checkpoint_torch.pth.tar"),
+                    jax.device_get(state), vit_cfg,
+                    epoch=args.epochs - 1, arch=args.arch)
         result.extra["final_loss"] = ep_loss.avg
         result.extra["best_loss"] = best_loss
         return result

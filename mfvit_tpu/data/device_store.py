@@ -161,11 +161,6 @@ def _make_sharded_gather(mesh: Mesh, n_canv: int):
     return gather
 
 
-def fits(n_images: int, img_size: int, chans: int,
-         budget_bytes: int) -> bool:
-    return n_images * img_size * img_size * chans <= budget_bytes
-
-
 def fill_from_dataset(ds, *, batch_size: int, seed: int = 0,
                       num_workers: int = 8, drop_last: bool = True,
                       shuffle: bool = True,

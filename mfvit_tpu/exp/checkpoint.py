@@ -241,3 +241,136 @@ def torch_fusion_to_params(sd: Dict[str, np.ndarray],
         "head_enh": {"w": t("mlp_head_enh.0.weight").T,
                      "b": t("mlp_head_enh.0.bias")},
     }
+
+
+# --------------------------------------------- pytree -> torch (export)
+# Exact inverses of the import converters above: a user can take a
+# TPU-trained model BACK to the PyTorch reference (e.g. feed a TPU MoCo
+# pretrain into the reference finetune main's --pretrained surgery,
+# finetune :312-337). Round-trip identity is tested in
+# tests/test_torch_parity.py.
+
+def params_to_torch_vit(params: Params, cfg) -> Dict[str, np.ndarray]:
+    """Our vit.py pytree -> MoCo-v3 ``vits.py`` state-dict arrays
+    (inverse of torch_vit_to_params)."""
+    def a(x):
+        return np.asarray(x)
+
+    D = cfg.dim
+    P = cfg.patch
+    pw = a(params["patch"]["w"])              # (P*P*C, D)
+    C = pw.shape[0] // (P * P)
+    sd: Dict[str, np.ndarray] = {
+        "patch_embed.proj.weight":
+            pw.reshape(P, P, C, D).transpose(3, 2, 0, 1),
+        "patch_embed.proj.bias": a(params["patch"]["b"]),
+        "cls_token": a(params["cls"]),
+        "norm.weight": a(params["norm"]["scale"]),
+        "norm.bias": a(params["norm"]["bias"]),
+    }
+    if cfg.learned_pos and "pos" in params:
+        sd["pos_embed"] = a(params["pos"])
+    for i, blk in enumerate(params["blocks"]):
+        b = f"blocks.{i}."
+        sd[b + "norm1.weight"] = a(blk["norm1"]["scale"])
+        sd[b + "norm1.bias"] = a(blk["norm1"]["bias"])
+        sd[b + "attn.qkv.weight"] = a(blk["qkv"]["w"]).T
+        sd[b + "attn.qkv.bias"] = a(blk["qkv"]["b"])
+        sd[b + "attn.proj.weight"] = a(blk["proj"]["w"]).T
+        sd[b + "attn.proj.bias"] = a(blk["proj"]["b"])
+        sd[b + "norm2.weight"] = a(blk["norm2"]["scale"])
+        sd[b + "norm2.bias"] = a(blk["norm2"]["bias"])
+        sd[b + "mlp.fc1.weight"] = a(blk["mlp"]["fc1"]["w"]).T
+        sd[b + "mlp.fc1.bias"] = a(blk["mlp"]["fc1"]["b"])
+        sd[b + "mlp.fc2.weight"] = a(blk["mlp"]["fc2"]["w"]).T
+        sd[b + "mlp.fc2.bias"] = a(blk["mlp"]["fc2"]["b"])
+    if "head" in params:
+        sd["head.weight"] = a(params["head"]["w"]).T
+        sd["head.bias"] = a(params["head"]["b"])
+    return sd
+
+
+def fusion_params_to_torch(params: Params) -> Dict[str, np.ndarray]:
+    """Our fusion.py pytree -> reference ``Fus_CrossViT`` fusion-head
+    state-dict arrays (inverse of torch_fusion_to_params)."""
+    def a(x):
+        return np.asarray(x)
+
+    sd: Dict[str, np.ndarray] = {}
+    for e, enc in enumerate(params["encoders"]):
+        base = f"multi_scale_transformers.{e}."
+        for l, lay in enumerate(enc["layers"]):
+            for which, ca_key in (("0", "ca_s"), ("2", "ca_l")):
+                ca = lay[ca_key]
+                p = f"{base}cross_attn_layers.{l}.{which}."
+                sd[p + "norm.weight"] = a(ca["norm"]["scale"])
+                sd[p + "norm.bias"] = a(ca["norm"]["bias"])
+                sd[p + "fn.wq.weight"] = a(ca["wq"]["w"]).T
+                sd[p + "fn.wk.weight"] = a(ca["wk"]["w"]).T
+                sd[p + "fn.wv.weight"] = a(ca["wv"]["w"]).T
+                sd[p + "fn.proj.weight"] = a(ca["proj"]["w"]).T
+                sd[p + "fn.proj.bias"] = a(ca["proj"]["b"])
+            for which, ln_key in (("1", "ln_l"), ("3", "ln_s")):
+                p = f"{base}cross_attn_layers.{l}.{which}."
+                sd[p + "weight"] = a(lay[ln_key]["scale"])
+                sd[p + "bias"] = a(lay[ln_key]["bias"])
+    sd["mlp_head_cxr.0.weight"] = a(params["head_cxr"]["w"]).T
+    sd["mlp_head_cxr.0.bias"] = a(params["head_cxr"]["b"])
+    sd["mlp_head_enh.0.weight"] = a(params["head_enh"]["w"]).T
+    sd["mlp_head_enh.0.bias"] = a(params["head_enh"]["b"])
+    return sd
+
+
+def _mlp_params_to_torch_seq(mlp: Params, prefix: str,
+                             sd: Dict[str, np.ndarray]) -> None:
+    """Our ssl.moco MLP pytree -> the reference _build_mlp Sequential
+    numbering (builder...mocov2loss.py:62-78: Linear[,BN,ReLU] per hidden
+    layer, final Linear[,affine-free BN])."""
+    idx = 0
+    for layer in mlp["layers"]:
+        sd[f"{prefix}{idx}.weight"] = np.asarray(layer["lin"]["w"]).T
+        if "b" in layer["lin"]:
+            sd[f"{prefix}{idx}.bias"] = np.asarray(layer["lin"]["b"])
+        idx += 1
+        if "bn" in layer:
+            bn = layer["bn"]
+            sd[f"{prefix}{idx}.weight"] = np.asarray(bn["scale"])
+            sd[f"{prefix}{idx}.bias"] = np.asarray(bn["bias"])
+            sd[f"{prefix}{idx}.running_mean"] = np.asarray(bn["mean"])
+            sd[f"{prefix}{idx}.running_var"] = np.asarray(bn["var"])
+            idx += 2  # BN, ReLU
+        elif "relu_marker" in layer:
+            idx += 1  # ReLU
+        elif "bn_noaffine" in layer:
+            bn = layer["bn_noaffine"]
+            sd[f"{prefix}{idx}.running_mean"] = np.asarray(bn["mean"])
+            sd[f"{prefix}{idx}.running_var"] = np.asarray(bn["var"])
+            idx += 1
+
+
+def save_moco_torch_checkpoint(path: str, state: Params, cfg,
+                               epoch: int = 0, arch: str = "vit_small"
+                               ) -> None:
+    """Export a MoCo pretrain state as a reference-layout ``.pth.tar``
+    (``module.base_encoder.*`` + projector Sequential grafted as
+    ``head.*``, momentum tower, predictor, queue) so the REFERENCE
+    finetune main can consume a TPU pretrain via its --pretrained
+    surgery (finetune :312-337; ckpt dict layout pretrain :461-479)."""
+    import torch
+
+    sd: Dict[str, np.ndarray] = {}
+    for tower, name in (("base", "base_encoder"),
+                        ("momentum", "momentum_encoder")):
+        pre = f"module.{name}."
+        for k, v in params_to_torch_vit(state[tower]["encoder"],
+                                        cfg).items():
+            sd[pre + k] = v
+        _mlp_params_to_torch_seq(state[tower]["projector"],
+                                 pre + "head.", sd)
+    _mlp_params_to_torch_seq(state["predictor"], "module.predictor.", sd)
+    sd["module.queue"] = np.asarray(state["queue"])
+    sd["module.queue_ptr"] = np.asarray(
+        state["queue_ptr"]).reshape(1).astype(np.int64)
+    torch.save({"epoch": int(epoch), "arch": arch,
+                "state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
+               path)

@@ -61,13 +61,19 @@ def test_pretrain_cli(covid_root):
         "--lr", "1e-3", "--optimizer", "adamw", "--wd", "0.1",
         "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "32",
         "--moco-t", "0.2", "--moco-m-cos", "--stop-grad-conv1",
-        "--semi-ratios", "1"])
+        "--export-torch", "--semi-ratios", "1"])
     assert len(results) == 1
     assert np.isfinite(results[0].extra["final_loss"])
     exp = next(out.iterdir())
     sub = exp / "train_1_0"
     assert (sub / "checkpoint_best_loss").exists()
     assert (exp / "commandline_args.txt").exists()
+    # --export-torch: reference-layout ckpt consumable by the reference
+    # finetune surgery
+    import torch as _torch
+    ck = _torch.load(sub / "checkpoint_torch.pth.tar",
+                     map_location="cpu", weights_only=False)
+    assert "module.base_encoder.cls_token" in ck["state_dict"]
 
 
 def test_pretrain_cli_v3_loss_unlabeled_split(covid_root):
@@ -355,7 +361,7 @@ def test_finetune_cli_device_store(covid_root, capfd):
         "--mesh-devices", "1",
         "-b", "8", "--epochs", "2", "--lr", "1e-3", "--optimizer", "sgd",
         "--semi-supervised", "--semi-ratios", "1"])
-    assert np.isfinite(results[0].test_auc) or True  # runs end-to-end
+    assert np.isfinite(results[0].test_auc)
     assert "device canvas store" in capfd.readouterr().out
 
 

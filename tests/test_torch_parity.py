@@ -905,3 +905,58 @@ def test_moco_train_step_matches_torch(tmp_path, opt_name, predictor_on_keys):
             rtol=1e-4, atol=5e-4)
     finally:
         torch.Tensor.cuda = orig_cuda
+
+
+# ---------------------------- export: pytree -> torch (interop round-trip)
+
+def test_vit_export_roundtrip():
+    """params_to_torch_vit is the exact inverse of the proven-correct
+    import converter: import(export(p)) == p bit-for-bit."""
+    params = vit.init(jax.random.PRNGKey(0), TINY, num_classes=3)
+    sd = ckpt.params_to_torch_vit(params, TINY)
+    back = ckpt.torch_vit_to_params(sd, TINY)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
+def test_fusion_export_roundtrip():
+    params = fusion.init(jax.random.PRNGKey(1), num_classes=3, dim=32,
+                         heads=2)
+    sd = ckpt.fusion_params_to_torch(params)
+    back = ckpt.torch_fusion_to_params(sd)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
+def test_moco_export_feeds_reference_finetune_surgery(tmp_path):
+    """A TPU MoCo pretrain exported with save_moco_torch_checkpoint is
+    consumable by the reference finetune --pretrained surgery (module.
+    base_encoder. strip + projector-head drop, finetune :312-337) — the
+    recovered backbone equals the exported base encoder, and the torch
+    file itself round-trips through torch.load."""
+    from mfvit_tpu.ssl import moco
+
+    cfg = moco.MoCoConfig(dim=8, mlp_dim=16, K=32, T=0.2,
+                          stop_grad_conv1=False)
+    state = moco.init(jax.random.PRNGKey(2), cfg, TINY)
+    path = str(tmp_path / "moco_tpu.pth.tar")
+    ckpt.save_moco_torch_checkpoint(path, state, TINY, epoch=7)
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    assert loaded["epoch"] == 7
+    assert "module.base_encoder.cls_token" in loaded["state_dict"]
+    assert "module.queue" in loaded["state_dict"]
+
+    backbone = ckpt.load_moco_pretrained_backbone(path, TINY)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                state["base"]["encoder"])[0],
+            jax.tree_util.tree_flatten_with_path(backbone)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
