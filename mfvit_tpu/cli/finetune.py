@@ -181,6 +181,8 @@ def train_one_draw_fn(args, cfg):
             timer = profiler.StepTimer(steps_per_epoch,
                                        prefix=f"Epoch: [{epoch}]",
                                        extra_meters=[ep_loss])
+            fetch = metrics.DeferredFetch(
+                lambda val, n, idx: ep_loss.update(val, n))
             batch_iter = (iter(tl) if store is not None else
                           pipeline.device_prefetch(iter(tl),
                                                    sharding=shard))
@@ -202,8 +204,10 @@ def train_one_draw_fn(args, cfg):
                     x = canv.astype(common.compute_dtype(args))
                 params, opt_state, loss, _ = train_step(
                     params, opt_state, x, labels)
-                ep_loss.update(float(loss), int(labels.shape[0]))
+                # one-step-lagged fetch (DeferredFetch): no per-step sync
+                fetch.push(loss, int(labels.shape[0]), i, sync=(i == 0))
                 timer.step_done(i, args.print_freq)
+            fetch.flush()
             val_auc, val_acc, val_loss, _, _ = evaluate(
                 eval_step, params, vl, args, n_total=n_val,
                 mesh=mesh, n_dev=n_dev)

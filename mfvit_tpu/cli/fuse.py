@@ -182,6 +182,8 @@ def train_one_draw_fn(args, cfg):
             timer = profiler.StepTimer(steps_per_epoch,
                                        prefix=f"Epoch: [{epoch}]",
                                        extra_meters=[ep_loss])
+            fetch = metrics.DeferredFetch(
+                lambda val, n, idx: ep_loss.update(val, n))
             batch_iter = (iter(tl) if store is not None else
                           pipeline.device_prefetch(iter(tl),
                                                    sharding=shard))
@@ -208,8 +210,10 @@ def train_one_draw_fn(args, cfg):
                     xc, xe = cxr.astype(dt), enh.astype(dt)
                 params, opt_state, loss, _ = train_step(
                     params, opt_state, xc, xe, labels)
-                ep_loss.update(float(loss), int(labels.shape[0]))
+                # one-step-lagged fetch (DeferredFetch): no per-step sync
+                fetch.push(loss, int(labels.shape[0]), i, sync=(i == 0))
                 timer.step_done(i, args.print_freq)
+            fetch.flush()
             val_auc, val_acc = evaluate(eval_step, params, vl, args,
                                         mesh=mesh, n_dev=n_dev,
                                         n_total=n_val)

@@ -192,6 +192,14 @@ def train_one_draw_fn(args, vit_cfg):
             timer = profiler.StepTimer(steps_per_epoch,
                                        prefix=f"Epoch: [{epoch}]",
                                        extra_meters=[ep_loss])
+
+            def loss_sink(val, n, idx, _ep=epoch):
+                ep_loss.update(val, n)
+                if writer is not None and idx % args.print_freq == 0:
+                    writer.add_scalar("pretrain/loss", val,
+                                      _ep * steps_per_epoch + idx)
+
+            fetch = metrics.DeferredFetch(loss_sink)
             batch_iter = (iter(tl) if store is not None else
                           pipeline.device_prefetch(iter(tl),
                                                    sharding=shard))
@@ -232,11 +240,11 @@ def train_one_draw_fn(args, vit_cfg):
                         out_dtype=common.compute_dtype(args))
                 state, opt_state, loss = step(state, opt_state, q, k_img,
                                               jnp.float32(m))
-                ep_loss.update(float(loss), int(q.shape[0]))
+                # one-step-lagged fetch: step i+1 dispatches while step
+                # i's loss crosses back (DeferredFetch)
+                fetch.push(loss, int(q.shape[0]), i, sync=(i == 0))
                 timer.step_done(i, args.print_freq)
-                if writer is not None and i % args.print_freq == 0:
-                    writer.add_scalar("pretrain/loss", float(loss),
-                                      epoch * steps_per_epoch + i)
+            fetch.flush()
             print(f"[ratio {ratio} draw {draw}] epoch {epoch}: "
                   f"loss {ep_loss.avg:.4f}")
             # smallest-epoch-loss checkpoint (pretrain :458-467) + final

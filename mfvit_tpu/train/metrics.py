@@ -98,6 +98,36 @@ def precision_recall_f1(logits: np.ndarray, labels: np.ndarray,
 
 # --------------------------------------------------------------- meters
 
+class DeferredFetch:
+    """One-step-lagged device-scalar fetch for training hot loops.
+
+    ``float(loss)`` forces a device sync every step; the reference pays
+    the equivalent CUDA sync via ``loss.item()`` (pretrain main :540).
+    Deferring the fetch one iteration lets step i+1's dispatch overlap
+    step i's result transfer — on a remote-dispatch host this roughly
+    halves loop overhead; on a co-located host it restores the async
+    dispatch pipeline. The display/meter consequently lags one step
+    (``sync=True`` on step 0 keeps the first progress line real).
+    Call ``flush()`` after the loop so the final step is counted."""
+
+    def __init__(self, sink):
+        self._pending = None
+        self._sink = sink  # sink(value: float, n: int, idx: int)
+
+    def push(self, scalar, n: int, idx: int, sync: bool = False) -> None:
+        self.flush()
+        if sync:
+            self._sink(float(scalar), n, idx)
+        else:
+            self._pending = (scalar, n, idx)
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            s, n, idx = self._pending
+            self._pending = None
+            self._sink(float(s), n, idx)
+
+
 class AverageMeter:
     """Running average meter (meters.py:3-37 / pretrain main :567-589)."""
 

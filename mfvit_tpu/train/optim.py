@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Optional, Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -118,8 +120,13 @@ def finetune_lr(init_lr: float, epochs: int, *, cos: bool,
 
 
 def moco_momentum(epoch_frac, m0: float, epochs: int):
-    """Cosine ramp of the EMA momentum toward 1 (pretrain :626-629)."""
-    return 1.0 - 0.5 * (1.0 + jnp.cos(jnp.pi * epoch_frac / epochs)) * (1.0 - m0)
+    """Cosine ramp of the EMA momentum toward 1 (pretrain :626-629).
+
+    Host-side numpy on purpose: this is evaluated per step in the
+    pretrain hot loop on python scalars, and a jnp formulation would
+    dispatch (and synchronously fetch) a device computation every
+    iteration."""
+    return 1.0 - 0.5 * (1.0 + np.cos(np.pi * epoch_frac / epochs)) * (1.0 - m0)
 
 
 # -------------------------------------------------------------- builders

@@ -372,3 +372,21 @@ def test_fusion_freeze_backbones_matches_masked_step(rng):
     orig = {k: v for k, v in params["cxr"].items() if k != "head"}
     for a, b in zip(jax.tree.leaves(body), jax.tree.leaves(orig)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_deferred_fetch_counts_every_step_once():
+    """DeferredFetch: one-step lag, sync passthrough on demand, flush
+    drains the tail — every (value, n, idx) hits the sink exactly once
+    and in order."""
+    seen = []
+    f = metrics.DeferredFetch(lambda v, n, i: seen.append((v, n, i)))
+    f.push(jnp.float32(1.0), 4, 0, sync=True)   # step 0: immediate
+    assert seen == [(1.0, 4, 0)]
+    f.push(jnp.float32(2.0), 4, 1)              # deferred
+    assert seen == [(1.0, 4, 0)]
+    f.push(jnp.float32(3.0), 4, 2)              # flushes step 1
+    assert seen == [(1.0, 4, 0), (2.0, 4, 1)]
+    f.flush()
+    assert seen == [(1.0, 4, 0), (2.0, 4, 1), (3.0, 4, 2)]
+    f.flush()  # idempotent
+    assert len(seen) == 3

@@ -67,7 +67,7 @@ def run(prefetch: bool, loader=None):
     n = 0
     t0 = None
     done = 0
-    loss = None
+    pending = None
     while done < STEPS:
         it = pipeline.device_prefetch(iter(loader)) if prefetch \
             else iter(loader)
@@ -80,16 +80,22 @@ def run(prefetch: bool, loader=None):
                                          out_dtype=jnp.bfloat16)
             p, o, loss, _ = train_step(params, opt_state, x, lab)
             params, opt_state = p, o
-            # force per-step completion so the timed window excludes the
-            # compile (steps 0-1) but includes every timed step fully
-            np.asarray(loss)
+            # one-step-lagged loss fetch, exactly like the CLI hot loops
+            # (train.metrics.DeferredFetch): the fetch of step i overlaps
+            # step i+1's dispatch
+            if pending is not None:
+                np.asarray(pending)
+            pending = loss
             done += 1
             if done == 2:       # warmup: compile + cache fill
+                np.asarray(pending)
+                pending = None
                 t0 = time.perf_counter()
                 n = 0
             n += B
             if done >= STEPS:
                 break
+    np.asarray(pending)
     return n / (time.perf_counter() - t0)
 
 
