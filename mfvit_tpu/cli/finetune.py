@@ -152,6 +152,27 @@ def train_one_draw_fn(args, cfg):
         train_step, eval_step = steps.make_classifier_steps(
             cfg, tx, compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend)
+        single_dev_store = store is not None and n_dev == 1
+        if single_dev_store:
+            # single-dispatch store path: gather + crop + aug + train
+            # step in ONE jitted program per iteration
+            crop = args.crop or args.img_size
+            s_dtype = common.compute_dtype(args)
+
+            def store_train_step(params, opt_state, table, lab_table,
+                                 idx, key):
+                canv = jnp.take(table, idx, axis=0)
+                labels = jnp.take(lab_table, idx, axis=0)
+                if crop < args.img_size:
+                    key, kc = jax.random.split(key)
+                    canv = device_aug.random_crop_batch(kc, canv, crop)
+                x = device_aug.augment_batch(
+                    key, canv, img_type=args.folder, training=True,
+                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
+                return train_step(params, opt_state, x, labels)
+
+            store_train_step = jax.jit(store_train_step,
+                                       donate_argnums=(0, 1))
         opt_state = tx.init(params)
         params = common.maybe_replicate(params, mesh, n_dev)
         opt_state = common.maybe_replicate(opt_state, mesh, n_dev)
@@ -183,29 +204,43 @@ def train_one_draw_fn(args, cfg):
                                        extra_meters=[ep_loss])
             fetch = metrics.DeferredFetch(
                 lambda val, n, idx: ep_loss.update(val, n))
-            batch_iter = (iter(tl) if store is not None else
-                          pipeline.device_prefetch(iter(tl),
-                                                   sharding=shard))
-            for i, (canv, labels) in enumerate(batch_iter):
+            if single_dev_store:
+                batch_iter = store.iter_index_batches()
+            elif store is not None:
+                batch_iter = iter(tl)
+            else:
+                batch_iter = pipeline.device_prefetch(iter(tl),
+                                                      sharding=shard)
+            for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, k_b = jax.random.split(k_aug)
-                if store is not None:
-                    # on-device crop prelude; store implies aug_device
-                    crop = args.crop or args.img_size
-                    if crop < args.img_size:
-                        k_b, kc = jax.random.split(k_b)
-                        canv = device_aug.random_crop_batch(kc, canv, crop)
-                if args.aug_device:
-                    x = device_aug.augment_batch(
-                        k_b, canv, img_type=args.folder,
-                        training=True, rotate_deg=float(args.rotate),
-                        out_dtype=common.compute_dtype(args))
+                if single_dev_store:
+                    idx = batch
+                    params, opt_state, loss, _ = store_train_step(
+                        params, opt_state, store.canvases, store.labels,
+                        idx, k_b)
+                    n_b = int(idx.shape[0])
                 else:
-                    x = canv.astype(common.compute_dtype(args))
-                params, opt_state, loss, _ = train_step(
-                    params, opt_state, x, labels)
+                    canv, labels = batch
+                    if store is not None:
+                        # sharded store: on-device crop prelude
+                        crop = args.crop or args.img_size
+                        if crop < args.img_size:
+                            k_b, kc = jax.random.split(k_b)
+                            canv = device_aug.random_crop_batch(kc, canv,
+                                                                crop)
+                    if args.aug_device:
+                        x = device_aug.augment_batch(
+                            k_b, canv, img_type=args.folder,
+                            training=True, rotate_deg=float(args.rotate),
+                            out_dtype=common.compute_dtype(args))
+                    else:
+                        x = canv.astype(common.compute_dtype(args))
+                    params, opt_state, loss, _ = train_step(
+                        params, opt_state, x, labels)
+                    n_b = int(labels.shape[0])
                 # one-step-lagged fetch (DeferredFetch): no per-step sync
-                fetch.push(loss, int(labels.shape[0]), i, sync=(i == 0))
+                fetch.push(loss, n_b, i, sync=(i == 0))
                 timer.step_done(i, args.print_freq)
             fetch.flush()
             val_auc, val_acc, val_loss, _, _ = evaluate(

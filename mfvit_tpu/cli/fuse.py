@@ -160,6 +160,34 @@ def train_one_draw_fn(args, cfg):
             freeze_backbones=not args.semi_supervised,
             compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend)
+        single_dev_store = store is not None and n_dev == 1
+        if single_dev_store:
+            # single-dispatch store path: gather both flavors + crop +
+            # aug + fusion step in ONE jitted program per iteration
+            crop = args.crop or args.img_size
+            s_dtype = common.compute_dtype(args)
+
+            def store_train_step(params, opt_state, t_cxr, t_enh,
+                                 lab_table, idx, key):
+                cxr = jnp.take(t_cxr, idx, axis=0)
+                enh = jnp.take(t_enh, idx, axis=0)
+                labels = jnp.take(lab_table, idx, axis=0)
+                ka, kb = jax.random.split(key)
+                if crop < args.img_size:
+                    ka, kca = jax.random.split(ka)
+                    kb, kcb = jax.random.split(kb)
+                    cxr = device_aug.random_crop_batch(kca, cxr, crop)
+                    enh = device_aug.random_crop_batch(kcb, enh, crop)
+                xc = device_aug.augment_batch(
+                    ka, cxr, img_type="data", training=True,
+                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
+                xe = device_aug.augment_batch(
+                    kb, enh, img_type="Train_Mix", training=True,
+                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
+                return train_step(params, opt_state, xc, xe, labels)
+
+            store_train_step = jax.jit(store_train_step,
+                                       donate_argnums=(0, 1))
         opt_state = tx.init(params)
         params = common.maybe_replicate(params, mesh, n_dev)
         opt_state = common.maybe_replicate(opt_state, mesh, n_dev)
@@ -184,34 +212,49 @@ def train_one_draw_fn(args, cfg):
                                        extra_meters=[ep_loss])
             fetch = metrics.DeferredFetch(
                 lambda val, n, idx: ep_loss.update(val, n))
-            batch_iter = (iter(tl) if store is not None else
-                          pipeline.device_prefetch(iter(tl),
-                                                   sharding=shard))
-            for i, (cxr, enh, labels) in enumerate(batch_iter):
+            if single_dev_store:
+                batch_iter = store.iter_index_batches()
+            elif store is not None:
+                batch_iter = iter(tl)
+            else:
+                batch_iter = pipeline.device_prefetch(iter(tl),
+                                                      sharding=shard)
+            for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, ka, kb = jax.random.split(k_aug, 3)
-                if store is not None:
-                    # on-device crop prelude; store implies aug_device
-                    crop = args.crop or args.img_size
-                    if crop < args.img_size:
-                        ka, kca = jax.random.split(ka)
-                        kb, kcb = jax.random.split(kb)
-                        cxr = device_aug.random_crop_batch(kca, cxr, crop)
-                        enh = device_aug.random_crop_batch(kcb, enh, crop)
-                if args.aug_device:
-                    xc = device_aug.augment_batch(
-                        ka, cxr, img_type="data", training=True,
-                        rotate_deg=float(args.rotate), out_dtype=dt)
-                    xe = device_aug.augment_batch(
-                        kb, enh, img_type="Train_Mix",
-                        training=True, rotate_deg=float(args.rotate),
-                        out_dtype=dt)
+                if single_dev_store:
+                    idx = batch
+                    params, opt_state, loss, _ = store_train_step(
+                        params, opt_state, store.canvases[0],
+                        store.canvases[1], store.labels, idx, ka)
+                    n_b = int(idx.shape[0])
                 else:
-                    xc, xe = cxr.astype(dt), enh.astype(dt)
-                params, opt_state, loss, _ = train_step(
-                    params, opt_state, xc, xe, labels)
+                    cxr, enh, labels = batch
+                    if store is not None:
+                        # sharded store: on-device crop prelude
+                        crop = args.crop or args.img_size
+                        if crop < args.img_size:
+                            ka, kca = jax.random.split(ka)
+                            kb, kcb = jax.random.split(kb)
+                            cxr = device_aug.random_crop_batch(kca, cxr,
+                                                               crop)
+                            enh = device_aug.random_crop_batch(kcb, enh,
+                                                               crop)
+                    if args.aug_device:
+                        xc = device_aug.augment_batch(
+                            ka, cxr, img_type="data", training=True,
+                            rotate_deg=float(args.rotate), out_dtype=dt)
+                        xe = device_aug.augment_batch(
+                            kb, enh, img_type="Train_Mix",
+                            training=True, rotate_deg=float(args.rotate),
+                            out_dtype=dt)
+                    else:
+                        xc, xe = cxr.astype(dt), enh.astype(dt)
+                    params, opt_state, loss, _ = train_step(
+                        params, opt_state, xc, xe, labels)
+                    n_b = int(labels.shape[0])
                 # one-step-lagged fetch (DeferredFetch): no per-step sync
-                fetch.push(loss, int(labels.shape[0]), i, sync=(i == 0))
+                fetch.push(loss, n_b, i, sync=(i == 0))
                 timer.step_done(i, args.print_freq)
             fetch.flush()
             val_auc, val_acc = evaluate(eval_step, params, vl, args,

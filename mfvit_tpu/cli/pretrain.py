@@ -157,6 +157,30 @@ def train_one_draw_fn(args, vit_cfg):
                 compute_dtype=common.compute_dtype(args))
             state = pmesh.replicate(state, mesh)
             opt_state = pmesh.replicate(opt_state, mesh)
+        elif store is not None:
+            # single-dispatch store path: gather + crop + two-view aug +
+            # MoCo step in ONE jitted program per iteration (per-step RPC
+            # latency dominates remote-dispatch hosts; one call hides it)
+            base_step = moco.make_pretrain_step(
+                cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args))
+            crop = args.crop or args.img_size
+            s_img_type = "4ch" if fourch else args.folder
+            s_dtype = common.compute_dtype(args)
+
+            def store_step(state, opt_state, table, idx, key, m):
+                canv = jnp.take(table, idx, axis=0)
+                if crop < args.img_size:
+                    key, kc1, kc2 = jax.random.split(key, 3)
+                    cq = device_aug.random_crop_batch(kc1, canv, crop)
+                    ck = device_aug.random_crop_batch(kc2, canv, crop)
+                else:
+                    cq = ck = canv
+                q, k_img = device_aug.augment_two_views(
+                    key, cq, ck, img_type=s_img_type,
+                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
+                return base_step(state, opt_state, q, k_img, m)
+
+            step = jax.jit(store_step, donate_argnums=(0, 1))
         else:
             step = jax.jit(moco.make_pretrain_step(
                 cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args)),
@@ -200,9 +224,14 @@ def train_one_draw_fn(args, vit_cfg):
                                       _ep * steps_per_epoch + idx)
 
             fetch = metrics.DeferredFetch(loss_sink)
-            batch_iter = (iter(tl) if store is not None else
-                          pipeline.device_prefetch(iter(tl),
-                                                   sharding=shard))
+            single_dev_store = store is not None and n_dev == 1
+            if single_dev_store:
+                batch_iter = store.iter_index_batches()
+            elif store is not None:
+                batch_iter = iter(tl)
+            else:
+                batch_iter = pipeline.device_prefetch(iter(tl),
+                                                      sharding=shard)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 it_epoch = epoch + i / steps_per_epoch
@@ -210,39 +239,45 @@ def train_one_draw_fn(args, vit_cfg):
                                                args.epochs))
                      if args.moco_m_cos else args.moco_m)
                 k_aug, k_b = jax.random.split(k_aug)
-                if store is not None:
-                    # HBM-resident pre-crop canvases: draw each view's
-                    # crop window on-device (TwoCropsTransform semantics)
-                    canv, _labels = batch
-                    crop = args.crop or args.img_size
-                    if crop < args.img_size:
-                        k_b, kc1, kc2 = jax.random.split(k_b, 3)
-                        canv_q = device_aug.random_crop_batch(kc1, canv,
-                                                              crop)
-                        canv_k = device_aug.random_crop_batch(kc2, canv,
-                                                              crop)
-                    else:
-                        canv_q = canv_k = canv
-                    q, k_img = device_aug.augment_two_views(
-                        k_b, canv_q, canv_k,
-                        img_type="4ch" if fourch else args.folder,
-                        rotate_deg=float(args.rotate),
-                        out_dtype=common.compute_dtype(args))
-                elif host_transformed:
-                    q, k_img, _labels = (
-                        b.astype(common.compute_dtype(args)) for b in batch)
+                if single_dev_store:
+                    # single dispatch: gather/crop/aug/step in store_step
+                    state, opt_state, loss = step(
+                        state, opt_state, store.canvases, batch, k_b,
+                        jnp.float32(m))
+                    n_b = int(batch.shape[0])
                 else:
-                    canv_q, canv_k, _labels = batch
-                    q, k_img = device_aug.augment_two_views(
-                        k_b, canv_q, canv_k,
-                        img_type="4ch" if fourch else args.folder,
-                        rotate_deg=float(args.rotate),
-                        out_dtype=common.compute_dtype(args))
-                state, opt_state, loss = step(state, opt_state, q, k_img,
-                                              jnp.float32(m))
+                    if host_transformed:
+                        q, k_img, _labels = (
+                            b.astype(common.compute_dtype(args))
+                            for b in batch)
+                    else:
+                        if store is not None:
+                            # sharded store: ONE pre-crop canvas per
+                            # sample; draw each view's crop on-device
+                            canv, _labels = batch
+                            crop = args.crop or args.img_size
+                            if crop < args.img_size:
+                                k_b, kc1, kc2 = jax.random.split(k_b, 3)
+                                canv_q = device_aug.random_crop_batch(
+                                    kc1, canv, crop)
+                                canv_k = device_aug.random_crop_batch(
+                                    kc2, canv, crop)
+                            else:
+                                canv_q = canv_k = canv
+                        else:
+                            # streaming: two host-cropped canvases
+                            canv_q, canv_k, _labels = batch
+                        q, k_img = device_aug.augment_two_views(
+                            k_b, canv_q, canv_k,
+                            img_type="4ch" if fourch else args.folder,
+                            rotate_deg=float(args.rotate),
+                            out_dtype=common.compute_dtype(args))
+                    state, opt_state, loss = step(state, opt_state, q,
+                                                  k_img, jnp.float32(m))
+                    n_b = int(q.shape[0])
                 # one-step-lagged fetch: step i+1 dispatches while step
                 # i's loss crosses back (DeferredFetch)
-                fetch.push(loss, int(q.shape[0]), i, sync=(i == 0))
+                fetch.push(loss, n_b, i, sync=(i == 0))
                 timer.step_done(i, args.print_freq)
             fetch.flush()
             print(f"[ratio {ratio} draw {draw}] epoch {epoch}: "

@@ -100,13 +100,17 @@ class DeviceCanvasStore:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def __iter__(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
-        """Shuffled device-resident batches for ``self.epoch`` (then
-        auto-advances, mirroring BatchLoader)."""
-        epoch, self.epoch = self.epoch, self.epoch + 1
+    def iter_index_batches(self) -> Iterator[jnp.ndarray]:
+        """Per-epoch shuffled INDEX batches (device int32 vectors) for
+        ``self.epoch`` (then auto-advances). The single-dispatch training
+        path gathers + crops + augments + steps inside ONE jitted call
+        taking (table, idx); this yields just the idx. Single-device
+        only — the sharded store gathers via shard_map in __iter__."""
         if self.mesh is not None:
-            yield from self._iter_sharded(epoch)
-            return
+            raise ValueError("iter_index_batches is the single-device "
+                             "fast path; iterate the sharded store "
+                             "directly")
+        epoch, self.epoch = self.epoch, self.epoch + 1
         idx = np.arange(self.n)
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
@@ -119,7 +123,17 @@ class DeviceCanvasStore:
                 reps = -(-(self.bs - len(chunk)) // max(self.n, 1))
                 pad = np.tile(idx, reps)[: self.bs - len(chunk)]
                 chunk = np.concatenate([chunk, pad])
-            di = jnp.asarray(chunk)  # the only per-step H2D: 4 B/sample
+            # the only per-step H2D: 4 B/sample
+            yield jnp.asarray(chunk.astype(np.int32))
+
+    def __iter__(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Shuffled device-resident batches for ``self.epoch`` (then
+        auto-advances, mirroring BatchLoader)."""
+        if self.mesh is not None:
+            epoch, self.epoch = self.epoch, self.epoch + 1
+            yield from self._iter_sharded(epoch)
+            return
+        for di in self.iter_index_batches():
             yield tuple(jnp.take(c, di, axis=0) for c in self._canvs) + (
                 jnp.take(self.labels, di, axis=0),)
 
