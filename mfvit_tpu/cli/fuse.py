@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained-enh", default="", type=str)
     p.add_argument("--semi-supervised", dest="semi_supervised",
                    action="store_true")
+    p.add_argument("--fusion-arch", default="ca", choices=["ca", "gpt"],
+                   help="fusion head: 'ca' = MF-ViT CA CLS cross-attention "
+                        "(the paper's method); 'gpt' = TransFuser-style "
+                        "joint-sequence GPT (reference model/fuseattention"
+                        ".py — present there but never wired to a main)")
+    p.add_argument("--gpt-layers", type=int, default=8,
+                   help="GPT fusion depth (GlobalConfig n_layer, "
+                        "config/config.py:36)")
     p.add_argument("--fusion-heads", type=int, default=3)
     p.add_argument("--cross-attn-depth", type=int, default=1)
     p.add_argument("--multi-scale-enc-depth", type=int, default=1)
@@ -92,17 +100,32 @@ def train_one_draw_fn(args, cfg):
                 args, test_man, "data", paired=True, budget=store_budget)
         return eval_stores["v"], eval_stores["s"]
 
+    gpt_cfg = None
+    if args.fusion_arch == "gpt":
+        import dataclasses as _dc
+
+        from mfvit_tpu.models import gpt_fusion
+        gpt_cfg = _dc.replace(gpt_fusion.VIT_CONFIG, n_embd=cfg.dim,
+                              n_layer=args.gpt_layers,
+                              vert_anchors=cfg.grid, horz_anchors=cfg.grid)
+
     def train_one_draw(ratio, draw, sub_folder, writer):
         key = jax.random.fold_in(common.jax_key(args), draw)
         k1, k2, k3, k_aug = jax.random.split(key, 4)
-        params = {
-            "cxr": vit_mod.init(k1, cfg, num_classes=args.num_classes),
-            "enh": vit_mod.init(k2, cfg, num_classes=args.num_classes),
-            "fus": fusion_mod.init(
+        if args.fusion_arch == "gpt":
+            from mfvit_tpu.models import gpt_fusion
+            fus0 = gpt_fusion.init(k3, gpt_cfg,
+                                   num_classes=args.num_classes)
+        else:
+            fus0 = fusion_mod.init(
                 k3, num_classes=args.num_classes, dim=cfg.dim,
                 heads=args.fusion_heads,
                 cross_attn_depth=args.cross_attn_depth,
-                multi_scale_enc_depth=args.multi_scale_enc_depth),
+                multi_scale_enc_depth=args.multi_scale_enc_depth)
+        params = {
+            "cxr": vit_mod.init(k1, cfg, num_classes=args.num_classes),
+            "enh": vit_mod.init(k2, cfg, num_classes=args.num_classes),
+            "fus": fus0,
         }
         for branch, path in (("cxr", args.pretrained_cxr),
                              ("enh", args.pretrained_enh)):
@@ -159,7 +182,8 @@ def train_one_draw_fn(args, cfg):
             cfg, tx, heads=args.fusion_heads,
             freeze_backbones=not args.semi_supervised,
             compute_dtype=common.compute_dtype(args),
-            attn_backend=args.attn_backend)
+            attn_backend=args.attn_backend,
+            fusion_arch=args.fusion_arch, gpt_cfg=gpt_cfg)
         single_dev_store = store is not None and n_dev == 1
         if single_dev_store:
             # single-dispatch store path: gather both flavors + crop +

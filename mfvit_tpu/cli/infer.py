@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="predictions.json")
     p.add_argument("--int8", action="store_true",
                    help="quantize ViT linears to int8 (W8A8 serving mode)")
+    p.add_argument("--fusion-arch", default="ca", choices=["ca", "gpt"],
+                   help="must match the checkpoint's fuse --fusion-arch")
+    p.add_argument("--gpt-layers", type=int, default=8)
     p.add_argument("--fusion-heads", type=int, default=3)
     p.add_argument("--num-classes", type=int, default=3)
     p.add_argument("--report-throughput", action="store_true")
@@ -47,11 +50,25 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = common.get_vit_arch(args)
     k = jax.random.PRNGKey(0)
+    gpt_cfg = None
+    if args.fusion_arch == "gpt":
+        import dataclasses as _dc
+
+        from mfvit_tpu.models import gpt_fusion
+        gpt_cfg = _dc.replace(gpt_fusion.VIT_CONFIG, n_embd=cfg.dim,
+                              n_layer=args.gpt_layers,
+                              vert_anchors=cfg.grid, horz_anchors=cfg.grid)
+        fus_like = gpt_fusion.init(k, gpt_cfg, num_classes=args.num_classes)
+        if args.int8:
+            raise SystemExit("--int8 serving is wired for the CA fusion "
+                             "path only")
+    else:
+        fus_like = fusion_mod.init(k, num_classes=args.num_classes,
+                                   dim=cfg.dim, heads=args.fusion_heads)
     like = {
         "cxr": vit_mod.init(k, cfg, num_classes=args.num_classes),
         "enh": vit_mod.init(k, cfg, num_classes=args.num_classes),
-        "fus": fusion_mod.init(k, num_classes=args.num_classes, dim=cfg.dim,
-                               heads=args.fusion_heads),
+        "fus": fus_like,
     }
     params = ckpt_mod.restore(args.checkpoint, like=like)
     if args.int8:
@@ -68,6 +85,21 @@ def main(argv=None):
 
     @jax.jit
     def fwd(p, xc, xe):
+        if args.fusion_arch == "gpt":
+            from mfvit_tpu.models import gpt_fusion
+            from mfvit_tpu.nn.layers import linear
+
+            def branch(bp, img):
+                body = {kk: v for kk, v in bp.items() if kk != "head"}
+                tokens, cls = vit_mod.apply(
+                    body, img, cfg, compute_dtype=dt,
+                    attn_backend=args.attn_backend, return_features=True)
+                return tokens, linear(bp["head"], cls)
+
+            tok_c, lc = branch(p["cxr"], xc)
+            tok_e, le = branch(p["enh"], xe)
+            fused = gpt_fusion.apply(p["fus"], tok_c, tok_e, gpt_cfg)
+            return fused + lc + le
         fused, lc, le = fusion_mod.fused_forward(
             p["cxr"], p["enh"], p["fus"], xc, xe, cfg,
             heads=args.fusion_heads, compute_dtype=dt,

@@ -72,13 +72,21 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
                       tx: optax.GradientTransformation, *,
                       heads: int = 3, compute_dtype=jnp.bfloat16,
                       attn_backend: Optional[str] = None,
-                      freeze_backbones: bool = False
-                      ) -> Tuple[Callable, Callable]:
+                      freeze_backbones: bool = False,
+                      fusion_arch: str = "ca",
+                      gpt_cfg=None) -> Tuple[Callable, Callable]:
     """(train_step, eval_step) for MF-ViT CA.
 
     ``params`` is ``{"cxr": vit_params, "enh": vit_params, "fus":
     fusion_params}``. The training/eval decision logits are
     ``fused + logits_cxr + logits_enh`` (fusion main :868).
+
+    ``fusion_arch="gpt"`` swaps the CLS cross-attention head for the
+    TransFuser-style joint-sequence GPT (reference model/fuseattention.py,
+    never wired to a main there); ``params["fus"]`` is then a
+    ``gpt_fusion`` pytree and ``gpt_cfg`` its GPTFusionConfig. The
+    decision-logit protocol (fused + cxr + enh) is kept so both heads are
+    drop-in interchangeable under the same CLI.
 
     ``freeze_backbones`` is the LP fusion mode (fusion main :297-313
     sets ``requires_grad=False`` on everything but each branch's head):
@@ -88,13 +96,29 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
     set (branch heads + fusion) matches the optimizer mask; their
     gradients are identical to the unfrozen formulation."""
 
-    def forward(params, img_cxr, img_enh):
-        return fusion_mod.fused_forward(
-            params["cxr"], params["enh"], params["fus"], img_cxr, img_enh,
-            cfg, heads=heads, compute_dtype=compute_dtype,
-            attn_backend=attn_backend)
+    if fusion_arch not in ("ca", "gpt"):
+        raise ValueError(f"unknown fusion_arch {fusion_arch!r}")
+    if fusion_arch == "gpt":
+        from mfvit_tpu.models import gpt_fusion
+        if gpt_cfg is None:
+            gpt_cfg = gpt_fusion.VIT_CONFIG
 
-    def forward_frozen(params, img_cxr, img_enh):
+    def head_apply(fus_params, tok_c, tok_e):
+        if fusion_arch == "gpt":
+            from mfvit_tpu.models import gpt_fusion
+            return gpt_fusion.apply(fus_params, tok_c, tok_e, gpt_cfg)
+        return fusion_mod.apply(fus_params, tok_c, tok_e, heads,
+                                attn_backend=attn_backend)
+
+    def forward(params, img_cxr, img_enh):
+        if fusion_arch == "ca":
+            return fusion_mod.fused_forward(
+                params["cxr"], params["enh"], params["fus"], img_cxr,
+                img_enh, cfg, heads=heads, compute_dtype=compute_dtype,
+                attn_backend=attn_backend)
+        return forward_generic(params, img_cxr, img_enh, frozen=False)
+
+    def forward_generic(params, img_cxr, img_enh, *, frozen):
         from mfvit_tpu.nn.layers import linear
 
         def branch(p, img):
@@ -102,15 +126,18 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
             tokens, cls = vit_mod.apply(
                 body, img, cfg, compute_dtype=compute_dtype,
                 attn_backend=attn_backend, return_features=True)
-            tokens = jax.lax.stop_gradient(tokens)
-            cls = jax.lax.stop_gradient(cls)
+            if frozen:
+                tokens = jax.lax.stop_gradient(tokens)
+                cls = jax.lax.stop_gradient(cls)
             return tokens, linear(p["head"], cls)
 
         tok_c, lc = branch(params["cxr"], img_cxr)
         tok_e, le = branch(params["enh"], img_enh)
-        fused = fusion_mod.apply(params["fus"], tok_c, tok_e, heads,
-                                 attn_backend=attn_backend)
+        fused = head_apply(params["fus"], tok_c, tok_e)
         return fused, lc, le
+
+    def forward_frozen(params, img_cxr, img_enh):
+        return forward_generic(params, img_cxr, img_enh, frozen=True)
 
     def loss_fn(params, img_cxr, img_enh, labels):
         fwd = forward_frozen if freeze_backbones else forward

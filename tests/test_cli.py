@@ -170,6 +170,30 @@ def test_fuse_cli(covid_root):
     assert data[0]["ratio"] == 1
 
 
+def test_fuse_cli_gpt(covid_root):
+    """--fusion-arch gpt: the TransFuser-style alt fusion end to end."""
+    from mfvit_tpu.cli import fuse
+    out = covid_root / "exp_fuse_gpt"
+    results = fuse.main(COMMON + [
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(out), "--exp-name", "smokegpt",
+        "-b", "8", "--epochs", "1", "--lr", "1e-3",
+        "--fusion-arch", "gpt", "--gpt-layers", "1",
+        "--semi-ratios", "1"])
+    assert len(results) == 1
+    assert np.isfinite(results[0].test_auc)
+    # serve the GPT checkpoint through the infer CLI
+    from mfvit_tpu.cli import infer
+    exp = next(out.iterdir())
+    res = infer.main(COMMON + [
+        "--checkpoint", str(exp / "train_1_0" / "model_best"),
+        "--manifest", str(covid_root / "create_covid_dataset" /
+                          "test_ds.txt"),
+        "--output", str(covid_root / "preds_gpt.json"), "-b", "4",
+        "--fusion-arch", "gpt", "--gpt-layers", "1"])
+    assert res["n"] == 4 and np.isfinite(res["metrics"]["auc"])
+
+
 def test_infer_cli(covid_root):
     """fuse -> infer roundtrip: load the fusion checkpoint and predict."""
     from mfvit_tpu.cli import infer

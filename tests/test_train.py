@@ -153,6 +153,84 @@ def test_fusion_step_runs_and_learns(rng):
     assert eval_step(params, imgs, imgs).shape == (4, 3)
 
 
+def test_gpt_fusion_step_runs_and_learns(rng):
+    """--fusion-arch gpt: TransFuser-style head under the same step factory
+    (reference model/fuseattention.py; decision protocol kept as
+    fused + cxr + enh)."""
+    import dataclasses
+
+    from mfvit_tpu.models import gpt_fusion
+
+    gcfg = dataclasses.replace(gpt_fusion.VIT_CONFIG, n_embd=TINY.dim,
+                               n_head=2, n_layer=2,
+                               vert_anchors=TINY.grid,
+                               horz_anchors=TINY.grid)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {
+        "cxr": vit.init(k1, TINY, num_classes=3),
+        "enh": vit.init(k2, TINY, num_classes=3),
+        "fus": gpt_fusion.init(k3, gcfg, num_classes=3),
+    }
+    tx = optim.build_optimizer("adam", 1e-3)
+    train_step, eval_step = steps.make_fusion_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla",
+        fusion_arch="gpt", gpt_cfg=gcfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (4, 32, 32, 3))
+    labels = jnp.array([0, 1, 2, 0])
+    state = tx.init(params)
+    first = None
+    for _ in range(8):
+        params, state, loss, out = train_step(params, state, imgs, imgs,
+                                              labels)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+    assert eval_step(params, imgs, imgs).shape == (4, 3)
+
+
+def test_gpt_fusion_frozen_bodies_stay_frozen(rng):
+    """freeze_backbones + head-only mask: ViT bodies bit-identical after
+    GPT-fusion LP training (sanity_check contract, fusion main :1013-1040)."""
+    import dataclasses
+
+    from mfvit_tpu.models import gpt_fusion
+
+    gcfg = dataclasses.replace(gpt_fusion.VIT_CONFIG, n_embd=TINY.dim,
+                               n_head=2, n_layer=1,
+                               vert_anchors=TINY.grid,
+                               horz_anchors=TINY.grid)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {
+        "cxr": vit.init(k1, TINY, num_classes=3),
+        "enh": vit.init(k2, TINY, num_classes=3),
+        "fus": gpt_fusion.init(k3, gcfg, num_classes=3),
+    }
+    mask = {
+        "cxr": optim.head_only_mask(params["cxr"]),
+        "enh": optim.head_only_mask(params["enh"]),
+        "fus": jax.tree.map(lambda _: True, params["fus"]),
+    }
+    before = {b: jax.tree.map(np.asarray, params[b]) for b in ("cxr", "enh")}
+    tx = optim.build_optimizer("sgd", 1e-2, trainable_mask=mask)
+    train_step, _ = steps.make_fusion_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla",
+        fusion_arch="gpt", gpt_cfg=gcfg, freeze_backbones=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (4, 32, 32, 3))
+    labels = jnp.array([0, 1, 2, 0])
+    state = tx.init(params)
+    for _ in range(2):
+        params, state, loss, _ = train_step(params, state, imgs, imgs,
+                                            labels)
+    for b in ("cxr", "enh"):
+        body_now = {k: v for k, v in params[b].items() if k != "head"}
+        body_was = {k: v for k, v in before[b].items() if k != "head"}
+        jax.tree.map(lambda a, c: np.testing.assert_array_equal(
+            np.asarray(a), c), body_now, body_was)
+        head_same = np.allclose(np.asarray(params[b]["head"]["w"]),
+                                before[b]["head"]["w"])
+        assert not head_same  # heads did train
+
+
 # --------------------------------------------------------------- metrics
 
 def test_auc_matches_sklearn():
