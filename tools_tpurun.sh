@@ -1,14 +1,17 @@
 #!/bin/bash
 # Run a python script on the TPU (axon). Keeps /root/.axon_site on PYTHONPATH
 # (its sitecustomize registers the axon PJRT backend) and retries briefly in
-# case the previous process's TPU claim hasn't released yet.
+# case the previous process's TPU claim hasn't released yet. Output streams
+# (python -u + tee) so long drives show progress instead of buffering to exit.
 export PYTHONPATH="/root/repo:${PYTHONPATH}"
+tmp=$(mktemp)
+trap 'rm -f "$tmp"' EXIT
 for i in $(seq 1 6); do
-  out=$(python "$@" 2>&1)
-  code=$?
-  if [ $code -ne 0 ] && echo "$out" | grep -q "Unable to initialize backend 'axon'"; then
+  python -u "$@" 2>&1 | tee "$tmp"
+  code=${PIPESTATUS[0]}
+  if [ $code -ne 0 ] && grep -q "Unable to initialize backend 'axon'" "$tmp"; then
     sleep 10; continue
   fi
-  echo "$out"; exit $code
+  exit $code
 done
-echo "$out"; exit 1
+exit 1
