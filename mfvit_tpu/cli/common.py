@@ -167,9 +167,9 @@ def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
             rotate_deg=float(args.rotate), seed=seed + seed_off)
     decode = None
     if getattr(args, "canvas_cache", True) and args.canvas_cache_mb > 0:
-        decode = ht.DecodeResizeCache(
+        decode = ht.shared_decode_cache(
             args.img_size, args.maintain_ratio,
-            limit_bytes=args.canvas_cache_mb << 20)
+            args.canvas_cache_mb << 20)
     ds = datasets.CovidEnhCxrDataset(
         manifest_path, tf("data", 0), tf("Train_Mix", 1),
         per_enh=getattr(args, "per_enh", 1.0), seed=seed, decode=decode)
@@ -180,8 +180,12 @@ def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
 
 class StoreBudget:
     """Shared HBM accounting for --device-store-mb: one budget covers
-    every store a run creates (train + val + test), so a CLI cannot pin
-    multiples of the configured limit."""
+    every store CONCURRENTLY resident in a run (train + val + test), so a
+    CLI cannot pin multiples of the configured limit. Per-draw train
+    stores release their reservation when the draw ends
+    (``release_store``) — the (ratio, draw) grid would otherwise exhaust
+    the budget after the first draws and silently fall back to the ~6x
+    slower streaming feed."""
 
     def __init__(self, mb: int):
         self.left = mb << 20
@@ -191,6 +195,50 @@ class StoreBudget:
             return False
         self.left -= nbytes
         return True
+
+    def release(self, nbytes: int) -> None:
+        self.left += nbytes
+
+
+def release_store(store) -> None:
+    """Return a per-draw store's HBM reservation to the shared budget.
+    Safe on None and on stores created without a budget."""
+    res = getattr(store, "budget_reservation", None)
+    if res is not None:
+        budget, nbytes = res
+        budget.release(nbytes)
+        store.budget_reservation = None
+
+
+def store_batch_iter(store, tl, shard, *, single_dev: bool):
+    """The per-epoch feed every CLI hot loop selects from:
+    single-device store -> index batches consumed by the fused
+    single-dispatch step; sharded store -> device-resident batches;
+    streaming loader -> double-buffered device_put prefetch."""
+    from mfvit_tpu.data import pipeline
+    if store is not None and single_dev:
+        return store.iter_index_batches()
+    if store is not None:
+        return iter(tl)
+    return pipeline.device_prefetch(iter(tl), sharding=shard)
+
+
+def device_crop_prelude(args, key, *canvs):
+    """On-device random crop shared by the store paths (the host crops
+    pre-store canvases only in streaming mode). No-op when the canvases
+    are already at network size; each canvas draws its own offset key.
+    Returns (key, cropped...)."""
+    import jax
+
+    from mfvit_tpu.data import device_aug
+    crop = args.crop or args.img_size
+    if crop >= args.img_size:
+        return (key,) + canvs
+    out = []
+    for c in canvs:
+        key, kc = jax.random.split(key)
+        out.append(device_aug.random_crop_batch(kc, c, crop))
+    return (key,) + tuple(out)
 
 
 def maybe_device_store(args, manifest_path: str, folder: str, *,
@@ -226,11 +274,17 @@ def maybe_device_store(args, manifest_path: str, folder: str, *,
         ds = datasets.CovidDataset(folder, manifest_path, fill_tf)
     if budget is None:
         budget = StoreBudget(args.device_store_mb)
-    if not budget.reserve(len(ds) * args.img_size * args.img_size * chans):
+    nbytes = len(ds) * args.img_size * args.img_size * chans
+    if not budget.reserve(nbytes):
+        print("=> device canvas store: does not fit --device-store-mb "
+              "budget; streaming feed for this draw")
         return None
     store = device_store.fill_from_dataset(
         ds, batch_size=args.batch_size, seed=seed,
         num_workers=args.workers, mesh=mesh if n_dev > 1 else None)
+    # per-draw reservation: the CLI returns it via common.release_store
+    # when the draw ends and the store's device arrays are dropped
+    store.budget_reservation = (budget, nbytes)
     print(f"=> device canvas store: {store.n} samples "
           f"({store.nbytes >> 20} MB) resident in HBM; "
           "epochs run host-free")
@@ -263,6 +317,8 @@ def maybe_eval_device_store(args, manifest_path: str, folder: str, *,
     if budget is None:
         budget = StoreBudget(args.device_store_mb)
     if not budget.reserve(len(ds) * side * side * (6 if paired else 3)):
+        print("=> eval device canvas store: does not fit "
+              "--device-store-mb budget; streaming eval feed")
         return None
     store = device_store.fill_from_dataset(
         ds, batch_size=args.batch_size, seed=seed, shuffle=False,
@@ -288,14 +344,15 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
     (q, k, label) so each MoCo view gets its own crop window
     (loader.py:13-22; device-aug path only)."""
     bs = batch_size or args.batch_size
-    # deterministic decode+resize prefix cached across epochs (the
-    # reference leans on num_workers=12 processes instead — pretrain main
-    # :425-442; on a 1-CPU host the cache is what keeps the chip fed)
+    # deterministic decode+resize prefix cached across epochs AND across
+    # loaders/draws — one shared cache per policy (the reference leans on
+    # num_workers=12 processes instead — pretrain main :425-442; on a
+    # 1-CPU host the cache is what keeps the chip fed)
     decode = None
     if getattr(args, "canvas_cache", True) and args.canvas_cache_mb > 0:
-        decode = ht.DecodeResizeCache(
+        decode = ht.shared_decode_cache(
             args.img_size, args.maintain_ratio,
-            limit_bytes=args.canvas_cache_mb << 20)
+            args.canvas_cache_mb << 20)
     if args.aug_device:
         def tf(seed_off):
             return ht.CanvasTransform(img_size=args.img_size,

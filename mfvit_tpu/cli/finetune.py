@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf, pipeline
+from mfvit_tpu.data import device_aug, manifest as mf
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.nn import vit as vit_mod
@@ -127,6 +127,11 @@ def train_one_draw_fn(args, cfg):
         sl = common.make_covid_loader(args, test_man, args.folder,
                                       training=False, seed=0)
         mesh, n_dev = common.setup_mesh(args)
+        # val is evaluated EVERY epoch — keep its canvases resident too.
+        # Eval stores persist across the (ratio, draw) grid, so they
+        # reserve HBM budget BEFORE the per-draw train store.
+        ev, es = get_eval_stores()
+        vl, sl = ev or vl, es or sl
         # HBM-resident canvas store: epoch >= 2 trains with zero host
         # work and zero per-step H2D (falls back to streaming when
         # ineligible — see common.maybe_device_store)
@@ -135,9 +140,6 @@ def train_one_draw_fn(args, cfg):
                                           budget=store_budget)
         if store is not None:
             tl = store
-        # val is evaluated EVERY epoch — keep its canvases resident too
-        ev, es = get_eval_stores()
-        vl, sl = ev or vl, es or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
@@ -156,16 +158,13 @@ def train_one_draw_fn(args, cfg):
         if single_dev_store:
             # single-dispatch store path: gather + crop + aug + train
             # step in ONE jitted program per iteration
-            crop = args.crop or args.img_size
             s_dtype = common.compute_dtype(args)
 
             def store_train_step(params, opt_state, table, lab_table,
                                  idx, key):
                 canv = jnp.take(table, idx, axis=0)
                 labels = jnp.take(lab_table, idx, axis=0)
-                if crop < args.img_size:
-                    key, kc = jax.random.split(key)
-                    canv = device_aug.random_crop_batch(kc, canv, crop)
+                key, canv = common.device_crop_prelude(args, key, canv)
                 x = device_aug.augment_batch(
                     key, canv, img_type=args.folder, training=True,
                     rotate_deg=float(args.rotate), out_dtype=s_dtype)
@@ -204,13 +203,8 @@ def train_one_draw_fn(args, cfg):
                                        extra_meters=[ep_loss])
             fetch = metrics.DeferredFetch(
                 lambda val, n, idx: ep_loss.update(val, n))
-            if single_dev_store:
-                batch_iter = store.iter_index_batches()
-            elif store is not None:
-                batch_iter = iter(tl)
-            else:
-                batch_iter = pipeline.device_prefetch(iter(tl),
-                                                      sharding=shard)
+            batch_iter = common.store_batch_iter(store, tl, shard,
+                                                 single_dev=n_dev == 1)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, k_b = jax.random.split(k_aug)
@@ -224,11 +218,8 @@ def train_one_draw_fn(args, cfg):
                     canv, labels = batch
                     if store is not None:
                         # sharded store: on-device crop prelude
-                        crop = args.crop or args.img_size
-                        if crop < args.img_size:
-                            k_b, kc = jax.random.split(k_b)
-                            canv = device_aug.random_crop_batch(kc, canv,
-                                                                crop)
+                        k_b, canv = common.device_crop_prelude(args, k_b,
+                                                               canv)
                     if args.aug_device:
                         x = device_aug.augment_batch(
                             k_b, canv, img_type=args.folder,
@@ -281,6 +272,9 @@ def train_one_draw_fn(args, cfg):
         if pretrained_snapshot is not None:
             harness.verify_frozen(params, pretrained_snapshot)
             print("=> sanity check passed.")
+        # the draw's train store dies with this frame — return its HBM
+        # reservation so the next draw's store fits the shared budget
+        common.release_store(store)
         return result
 
     return train_one_draw

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf, pipeline
+from mfvit_tpu.data import device_aug, manifest as mf
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.models import fusion as fusion_mod
@@ -159,14 +159,16 @@ def train_one_draw_fn(args, cfg):
         sl = common.make_covid_loader(args, test_man, "data", training=False,
                                       paired=True, seed=0)
         mesh, n_dev = common.setup_mesh(args)
+        # eval stores persist across the (ratio, draw) grid — they
+        # reserve HBM budget BEFORE the per-draw train store
+        ev, es = get_eval_stores()
+        vl, sl = ev or vl, es or sl
         # HBM-resident paired canvas store (see common.maybe_device_store)
         store = common.maybe_device_store(args, train_man, "data",
                                           paired=True, n_dev=n_dev, mesh=mesh,
                                           seed=draw, budget=store_budget)
         if store is not None:
             tl = store
-        ev, es = get_eval_stores()
-        vl, sl = ev or vl, es or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
@@ -188,7 +190,6 @@ def train_one_draw_fn(args, cfg):
         if single_dev_store:
             # single-dispatch store path: gather both flavors + crop +
             # aug + fusion step in ONE jitted program per iteration
-            crop = args.crop or args.img_size
             s_dtype = common.compute_dtype(args)
 
             def store_train_step(params, opt_state, t_cxr, t_enh,
@@ -197,11 +198,8 @@ def train_one_draw_fn(args, cfg):
                 enh = jnp.take(t_enh, idx, axis=0)
                 labels = jnp.take(lab_table, idx, axis=0)
                 ka, kb = jax.random.split(key)
-                if crop < args.img_size:
-                    ka, kca = jax.random.split(ka)
-                    kb, kcb = jax.random.split(kb)
-                    cxr = device_aug.random_crop_batch(kca, cxr, crop)
-                    enh = device_aug.random_crop_batch(kcb, enh, crop)
+                ka, cxr = common.device_crop_prelude(args, ka, cxr)
+                kb, enh = common.device_crop_prelude(args, kb, enh)
                 xc = device_aug.augment_batch(
                     ka, cxr, img_type="data", training=True,
                     rotate_deg=float(args.rotate), out_dtype=s_dtype)
@@ -236,13 +234,8 @@ def train_one_draw_fn(args, cfg):
                                        extra_meters=[ep_loss])
             fetch = metrics.DeferredFetch(
                 lambda val, n, idx: ep_loss.update(val, n))
-            if single_dev_store:
-                batch_iter = store.iter_index_batches()
-            elif store is not None:
-                batch_iter = iter(tl)
-            else:
-                batch_iter = pipeline.device_prefetch(iter(tl),
-                                                      sharding=shard)
+            batch_iter = common.store_batch_iter(store, tl, shard,
+                                                 single_dev=n_dev == 1)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, ka, kb = jax.random.split(k_aug, 3)
@@ -256,14 +249,8 @@ def train_one_draw_fn(args, cfg):
                     cxr, enh, labels = batch
                     if store is not None:
                         # sharded store: on-device crop prelude
-                        crop = args.crop or args.img_size
-                        if crop < args.img_size:
-                            ka, kca = jax.random.split(ka)
-                            kb, kcb = jax.random.split(kb)
-                            cxr = device_aug.random_crop_batch(kca, cxr,
-                                                               crop)
-                            enh = device_aug.random_crop_batch(kcb, enh,
-                                                               crop)
+                        ka, cxr = common.device_crop_prelude(args, ka, cxr)
+                        kb, enh = common.device_crop_prelude(args, kb, enh)
                     if args.aug_device:
                         xc = device_aug.augment_batch(
                             ka, cxr, img_type="data", training=True,
@@ -305,6 +292,8 @@ def train_one_draw_fn(args, cfg):
                 harness.verify_frozen(params[b], frozen_snapshot[b],
                                       label=f"{b}.")
             print("=> fusion sanity check passed.")
+        # return the per-draw train store's HBM reservation to the budget
+        common.release_store(store)
         return result
 
     return train_one_draw

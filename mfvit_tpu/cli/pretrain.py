@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf, pipeline
+from mfvit_tpu.data import device_aug, manifest as mf
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.parallel import mesh as pmesh
@@ -163,18 +163,15 @@ def train_one_draw_fn(args, vit_cfg):
             # latency dominates remote-dispatch hosts; one call hides it)
             base_step = moco.make_pretrain_step(
                 cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args))
-            crop = args.crop or args.img_size
             s_img_type = "4ch" if fourch else args.folder
             s_dtype = common.compute_dtype(args)
 
             def store_step(state, opt_state, table, idx, key, m):
                 canv = jnp.take(table, idx, axis=0)
-                if crop < args.img_size:
-                    key, kc1, kc2 = jax.random.split(key, 3)
-                    cq = device_aug.random_crop_batch(kc1, canv, crop)
-                    ck = device_aug.random_crop_batch(kc2, canv, crop)
-                else:
-                    cq = ck = canv
+                # each MoCo view draws its OWN crop window (TwoCrops
+                # semantics, loader.py:13-22)
+                key, cq, ck = common.device_crop_prelude(args, key,
+                                                         canv, canv)
                 q, k_img = device_aug.augment_two_views(
                     key, cq, ck, img_type=s_img_type,
                     rotate_deg=float(args.rotate), out_dtype=s_dtype)
@@ -225,13 +222,8 @@ def train_one_draw_fn(args, vit_cfg):
 
             fetch = metrics.DeferredFetch(loss_sink)
             single_dev_store = store is not None and n_dev == 1
-            if single_dev_store:
-                batch_iter = store.iter_index_batches()
-            elif store is not None:
-                batch_iter = iter(tl)
-            else:
-                batch_iter = pipeline.device_prefetch(iter(tl),
-                                                      sharding=shard)
+            batch_iter = common.store_batch_iter(store, tl, shard,
+                                                 single_dev=n_dev == 1)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 it_epoch = epoch + i / steps_per_epoch
@@ -255,15 +247,9 @@ def train_one_draw_fn(args, vit_cfg):
                             # sharded store: ONE pre-crop canvas per
                             # sample; draw each view's crop on-device
                             canv, _labels = batch
-                            crop = args.crop or args.img_size
-                            if crop < args.img_size:
-                                k_b, kc1, kc2 = jax.random.split(k_b, 3)
-                                canv_q = device_aug.random_crop_batch(
-                                    kc1, canv, crop)
-                                canv_k = device_aug.random_crop_batch(
-                                    kc2, canv, crop)
-                            else:
-                                canv_q = canv_k = canv
+                            k_b, canv_q, canv_k = (
+                                common.device_crop_prelude(args, k_b,
+                                                           canv, canv))
                         else:
                             # streaming: two host-cropped canvases
                             canv_q, canv_k, _labels = batch
@@ -311,6 +297,16 @@ def train_one_draw_fn(args, vit_cfg):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     vit_cfg = common.get_arch(args)
+    if args.export_torch and (getattr(vit_cfg, "conv_stem", False)
+                              or not getattr(vit_cfg, "qkv_bias", True)):
+        # fail FAST: params_to_torch_vit handles the plain-ViT layout
+        # only (patch['w'], biased qkv); discovering that AFTER the full
+        # training grid would throw the run away
+        raise SystemExit(
+            f"--export-torch does not support {args.arch}: the torch "
+            "export writes the plain vits.py layout (no conv-stem, "
+            "biased qkv). Drop --export-torch or use a vit_small/"
+            "vit_base/_ori arch.")
     folder = storage.get_storage_folder(args.exp_name, "moco",
                                         root=args.storage_root)
     harness.snapshot_args(folder, args)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import random
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -72,10 +73,13 @@ class DecodeResizeCache:
     augmentation suffix is NOT cached, preserving the per-epoch draw
     distribution exactly.
 
-    Thread-safe under the GIL (BatchLoader uses worker threads); arrays
-    are marked read-only before sharing. ``limit_bytes`` caps growth —
-    past it, images decode per-epoch as before (no eviction: epoch order
-    is shuffled, so any fixed subset is as good as LRU)."""
+    Thread-safe (BatchLoader uses worker threads): lookups ride the GIL,
+    inserts take a lock so the byte accounting cannot race (two threads
+    passing the budget check together, or double-counting a path both
+    decoded). Arrays are marked read-only before sharing. ``limit_bytes``
+    caps growth — past it, images decode per-epoch as before (no
+    eviction: epoch order is shuffled, so any fixed subset is as good as
+    LRU)."""
 
     def __init__(self, img_size: int, maintain_ratio: bool = True,
                  limit_bytes: int = 4 << 30):
@@ -84,6 +88,7 @@ class DecodeResizeCache:
         self.limit_bytes = limit_bytes
         self._store: dict = {}
         self._bytes = 0
+        self._lock = threading.Lock()
 
     def __call__(self, path: str) -> np.ndarray:
         img = self._store.get(path)
@@ -92,16 +97,39 @@ class DecodeResizeCache:
         img = decode_bgr(path)
         img = (resize_shorter(img, self.img_size) if self.maintain_ratio
                else resize_square(img, self.img_size))
-        if self._bytes + img.nbytes <= self.limit_bytes:
-            img = np.ascontiguousarray(img)
-            img.setflags(write=False)
-            self._store[path] = img
-            self._bytes += img.nbytes
+        with self._lock:
+            prev = self._store.get(path)
+            if prev is not None:  # another thread decoded it first
+                return prev
+            if self._bytes + img.nbytes <= self.limit_bytes:
+                img = np.ascontiguousarray(img)
+                img.setflags(write=False)
+                self._store[path] = img
+                self._bytes += img.nbytes
         return img
 
     @property
     def nbytes(self) -> int:
         return self._bytes
+
+
+# One cache per (decode+resize policy) per process: the prefix is
+# deterministic, so every loader of a run — train/val/test, across all
+# (ratio, draw) iterations — shares one instance. Per-loader caches would
+# multiply the configured RAM budget by the loader count and re-decode
+# the dataset every draw.
+_shared_decode_caches: dict = {}
+
+
+def shared_decode_cache(img_size: int, maintain_ratio: bool,
+                        limit_bytes: int) -> DecodeResizeCache:
+    key = (int(img_size), bool(maintain_ratio), int(limit_bytes))
+    cache = _shared_decode_caches.get(key)
+    if cache is None:
+        cache = DecodeResizeCache(img_size, maintain_ratio,
+                                  limit_bytes=limit_bytes)
+        _shared_decode_caches[key] = cache
+    return cache
 
 
 def center_crop(img: np.ndarray, ch: int, cw: int) -> np.ndarray:

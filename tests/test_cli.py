@@ -355,6 +355,17 @@ def test_pretrain_cli_enh_cxr_pairing(covid_root):
     assert np.isfinite(results[0].extra["final_loss"])
 
 
+def test_pretrain_export_torch_rejects_unsupported_arch_fast():
+    """--export-torch + conv-stem arch must fail at startup, not crash in
+    the converter AFTER the full training grid ran."""
+    import pytest
+
+    from mfvit_tpu.cli import pretrain
+    with pytest.raises(SystemExit, match="export-torch does not support"):
+        pretrain.main(["-a", "vit_conv_small", "--export-torch",
+                       "--covid-ds", "/nonexistent"])
+
+
 def test_pretrain_cli_device_store(covid_root, capfd):
     """Default square-resize single-device runs keep the dataset resident
     in HBM: epoch >= 2 needs zero host work and zero per-step H2D

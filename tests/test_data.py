@@ -521,6 +521,82 @@ def test_loader_with_cache_is_identical(tmp_path):
             np.testing.assert_array_equal(la, lb)
 
 
+def test_store_budget_released_across_draws(tmp_path):
+    """Per-draw train stores return their HBM reservation on release, so
+    a multi-draw grid keeps fitting the shared --device-store-mb budget
+    (draw >= 1 used to fall back silently to the streaming feed)."""
+    import argparse
+
+    from mfvit_tpu.cli import common
+
+    os.makedirs(tmp_path / "imgs" / "data")
+    names = []
+    for i in range(4):
+        _write_img(str(tmp_path / "imgs" / "data" / f"s{i}.png"),
+                   40, 50, seed=i)
+        names.append(f"s{i}.png")
+    man = str(tmp_path / "man.txt")
+    mf.write_covid_manifest(man, str(tmp_path / "imgs"), names,
+                            [i % 3 for i in range(4)])
+    args = argparse.Namespace(
+        batch_size=2, img_size=16, crop=16, maintain_ratio=False,
+        aug_device=True, workers=1, rotate=0.0,
+        canvas_cache=False, canvas_cache_mb=0, device_store_mb=1)
+    nbytes = 4 * 16 * 16 * 3
+    budget = common.StoreBudget(0)
+    budget.left = nbytes  # exactly ONE train store fits at a time
+    s1 = common.maybe_device_store(args, man, "data", seed=0,
+                                   budget=budget)
+    assert s1 is not None
+    assert common.maybe_device_store(args, man, "data", seed=1,
+                                     budget=budget) is None
+    common.release_store(s1)  # draw 0 ended
+    s2 = common.maybe_device_store(args, man, "data", seed=1,
+                                   budget=budget)
+    assert s2 is not None
+    common.release_store(s2)
+    common.release_store(s2)  # idempotent
+    common.release_store(None)  # safe on streaming fallback
+    assert budget.left == nbytes
+
+
+def test_decode_cache_shared_across_loaders(tmp_path, monkeypatch):
+    """All loaders of a run (train/val/test, every draw) share ONE decode
+    cache per policy: each image is decoded once per process, and the RAM
+    budget is not multiplied by the loader count."""
+    import argparse
+
+    from mfvit_tpu.cli import common
+
+    os.makedirs(tmp_path / "imgs" / "data")
+    names = []
+    for i in range(4):
+        _write_img(str(tmp_path / "imgs" / "data" / f"c{i}.png"),
+                   50, 60, seed=i)
+        names.append(f"c{i}.png")
+    man = str(tmp_path / "man.txt")
+    mf.write_covid_manifest(man, str(tmp_path / "imgs"), names,
+                            [i % 3 for i in range(4)])
+    calls = []
+    real = ht.decode_bgr
+    monkeypatch.setattr(ht, "decode_bgr",
+                        lambda path: (calls.append(path), real(path))[1])
+    # distinctive budget -> fresh shared-cache registry entry
+    args = argparse.Namespace(
+        batch_size=2, img_size=24, crop=24, maintain_ratio=True,
+        aug_device=True, workers=1, rotate=0.0,
+        canvas_cache=True, canvas_cache_mb=63)
+    a = common.make_covid_loader(args, man, "data", training=True, seed=0)
+    b = common.make_covid_loader(args, man, "data", training=False, seed=0)
+    for _ in a:
+        pass
+    n_after_first = len(calls)
+    assert n_after_first == 4  # one decode per image
+    for _ in b:  # second loader, same policy -> zero fresh decodes
+        pass
+    assert len(calls) == n_after_first
+
+
 def test_random_crop_batch_matches_host_semantics():
     """Device random crop: every output is a contiguous (crop, crop)
     window of its source, offsets cover the full inclusive range."""
