@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def train_one_draw_fn(args, vit_cfg):
+    # run-scoped HBM budget, like finetune/fuse: each draw's train store
+    # reserves on entry and releases on exit
+    store_budget = common.StoreBudget(getattr(args, "device_store_mb", 0))
+
     def train_one_draw(ratio, draw, sub_folder, writer):
         kw = dict(
             dim=args.moco_dim, mlp_dim=args.moco_mlp_dim, K=args.moco_k,
@@ -129,7 +133,7 @@ def train_one_draw_fn(args, vit_cfg):
         if not host_transformed:
             store = common.maybe_device_store(args, man, args.folder,
                                               fourch=fourch, n_dev=n_dev, mesh=mesh,
-                                              seed=draw)
+                                              seed=draw, budget=store_budget)
         if store is not None:
             tl = store
             steps_per_epoch = max(len(tl), 1)
@@ -289,6 +293,8 @@ def train_one_draw_fn(args, vit_cfg):
                     epoch=args.epochs - 1, arch=args.arch)
         result.extra["final_loss"] = ep_loss.avg
         result.extra["best_loss"] = best_loss
+        # return the per-draw train store's HBM reservation to the budget
+        common.release_store(store)
         return result
 
     return train_one_draw
