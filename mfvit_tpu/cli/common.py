@@ -210,17 +210,48 @@ def release_store(store) -> None:
         store.budget_reservation = None
 
 
-def store_batch_iter(store, tl, shard, *, single_dev: bool):
+def store_batch_iter(store, tl, shard):
     """The per-epoch feed every CLI hot loop selects from:
     single-device store -> index batches consumed by the fused
     single-dispatch step; sharded store -> device-resident batches;
     streaming loader -> double-buffered device_put prefetch."""
     from mfvit_tpu.data import pipeline
-    if store is not None and single_dev:
-        return store.iter_index_batches()
     if store is not None:
-        return iter(tl)
+        return (store.iter_index_batches() if store.mesh is None
+                else iter(store))
     return pipeline.device_prefetch(iter(tl), sharding=shard)
+
+
+def lazy_eval_stores(args, val_man: str, test_man: str, folder: str, *,
+                     paired: bool = False, budget: StoreBudget = None):
+    """Lazily-built (val, test) eval-store pair, shared by finetune and
+    fuse. Eval stores are draw-independent (deterministic canvases,
+    fixed manifests), so one pair is built on first use and reused
+    across the whole (ratio, draw) grid; their HBM reservation is taken
+    from ``budget`` BEFORE any per-draw train store's."""
+    cache = {}
+
+    def get():
+        if "v" not in cache:
+            cache["v"] = maybe_eval_device_store(
+                args, val_man, folder, paired=paired, budget=budget)
+            cache["s"] = maybe_eval_device_store(
+                args, test_man, folder, paired=paired, budget=budget)
+        return cache["v"], cache["s"]
+
+    return get
+
+
+def _fill_decode_cache(args, maintain_ratio: bool):
+    """Shared decode(+resize) cache for store FILL passes: the same
+    per-policy cache the streaming loaders use, so draw >= 2's fill pass
+    reads decoded canvases from RAM instead of re-decoding the split
+    from disk (the fill prefix is deterministic and idempotent under
+    CanvasTransform's re-resize)."""
+    if getattr(args, "canvas_cache", True) and args.canvas_cache_mb > 0:
+        return ht.shared_decode_cache(args.img_size, maintain_ratio,
+                                      args.canvas_cache_mb << 20)
+    return None
 
 
 def device_crop_prelude(args, key, *canvs):
@@ -264,14 +295,16 @@ def maybe_device_store(args, manifest_path: str, folder: str, *,
     chans = 4 if fourch else (6 if paired else 3)  # paired: 2 flavors
     fill_tf = ht.CanvasTransform(img_size=args.img_size, training=False,
                                  maintain_ratio=False, seed=seed)
+    decode = _fill_decode_cache(args, False)
     if fourch:
         ds = datasets.Covid4chDataset(manifest_path, fill_tf,
-                                      folder_cxr=folder)
+                                      folder_cxr=folder, decode=decode)
     elif paired:
         ds = datasets.CovidPairedDataset(manifest_path, fill_tf, fill_tf,
-                                         folder_cxr=folder)
+                                         folder_cxr=folder, decode=decode)
     else:
-        ds = datasets.CovidDataset(folder, manifest_path, fill_tf)
+        ds = datasets.CovidDataset(folder, manifest_path, fill_tf,
+                                   decode=decode)
     if budget is None:
         budget = StoreBudget(args.device_store_mb)
     nbytes = len(ds) * args.img_size * args.img_size * chans
@@ -308,11 +341,13 @@ def maybe_eval_device_store(args, manifest_path: str, folder: str, *,
                                  training=False,
                                  maintain_ratio=args.maintain_ratio,
                                  seed=seed)
+    decode = _fill_decode_cache(args, args.maintain_ratio)
     if paired:
         ds = datasets.CovidPairedDataset(manifest_path, fill_tf, fill_tf,
-                                         folder_cxr=folder)
+                                         folder_cxr=folder, decode=decode)
     else:
-        ds = datasets.CovidDataset(folder, manifest_path, fill_tf)
+        ds = datasets.CovidDataset(folder, manifest_path, fill_tf,
+                                   decode=decode)
     side = args.crop or args.img_size
     if budget is None:
         budget = StoreBudget(args.device_store_mb)

@@ -90,15 +90,9 @@ def train_one_draw_fn(args, cfg):
     # draw-independent (deterministic canvases, fixed manifests) so they
     # are built once and reused across the (ratio, draw) grid
     store_budget = common.StoreBudget(getattr(args, "device_store_mb", 0))
-    eval_stores = {}
-
-    def get_eval_stores():
-        if "v" not in eval_stores:
-            eval_stores["v"] = common.maybe_eval_device_store(
-                args, val_man, args.folder, budget=store_budget)
-            eval_stores["s"] = common.maybe_eval_device_store(
-                args, test_man, args.folder, budget=store_budget)
-        return eval_stores["v"], eval_stores["s"]
+    get_eval_stores = common.lazy_eval_stores(args, val_man, test_man,
+                                              args.folder,
+                                              budget=store_budget)
 
     def train_one_draw(ratio, draw, sub_folder, writer):
         key = common.jax_key(args)
@@ -154,7 +148,7 @@ def train_one_draw_fn(args, cfg):
         train_step, eval_step = steps.make_classifier_steps(
             cfg, tx, compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend)
-        single_dev_store = store is not None and n_dev == 1
+        single_dev_store = store is not None and store.mesh is None
         if single_dev_store:
             # single-dispatch store path: gather + crop + aug + train
             # step in ONE jitted program per iteration
@@ -203,8 +197,7 @@ def train_one_draw_fn(args, cfg):
                                        extra_meters=[ep_loss])
             fetch = metrics.DeferredFetch(
                 lambda val, n, idx: ep_loss.update(val, n))
-            batch_iter = common.store_batch_iter(store, tl, shard,
-                                                 single_dev=n_dev == 1)
+            batch_iter = common.store_batch_iter(store, tl, shard)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, k_b = jax.random.split(k_aug)

@@ -90,15 +90,9 @@ def evaluate(eval_step, params, loader, args, *, n_total: int,
 def train_one_draw_fn(args, cfg):
     val_man, test_man = mf.eval_manifest_paths(args.covid_ds)
     store_budget = common.StoreBudget(getattr(args, "device_store_mb", 0))
-    eval_stores = {}
-
-    def get_eval_stores():
-        if "v" not in eval_stores:
-            eval_stores["v"] = common.maybe_eval_device_store(
-                args, val_man, "data", paired=True, budget=store_budget)
-            eval_stores["s"] = common.maybe_eval_device_store(
-                args, test_man, "data", paired=True, budget=store_budget)
-        return eval_stores["v"], eval_stores["s"]
+    get_eval_stores = common.lazy_eval_stores(args, val_man, test_man,
+                                              "data", paired=True,
+                                              budget=store_budget)
 
     gpt_cfg = None
     if args.fusion_arch == "gpt":
@@ -186,7 +180,7 @@ def train_one_draw_fn(args, cfg):
             compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend,
             fusion_arch=args.fusion_arch, gpt_cfg=gpt_cfg)
-        single_dev_store = store is not None and n_dev == 1
+        single_dev_store = store is not None and store.mesh is None
         if single_dev_store:
             # single-dispatch store path: gather both flavors + crop +
             # aug + fusion step in ONE jitted program per iteration
@@ -234,8 +228,7 @@ def train_one_draw_fn(args, cfg):
                                        extra_meters=[ep_loss])
             fetch = metrics.DeferredFetch(
                 lambda val, n, idx: ep_loss.update(val, n))
-            batch_iter = common.store_batch_iter(store, tl, shard,
-                                                 single_dev=n_dev == 1)
+            batch_iter = common.store_batch_iter(store, tl, shard)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 k_aug, ka, kb = jax.random.split(k_aug, 3)

@@ -225,9 +225,8 @@ def train_one_draw_fn(args, vit_cfg):
                                       _ep * steps_per_epoch + idx)
 
             fetch = metrics.DeferredFetch(loss_sink)
-            single_dev_store = store is not None and n_dev == 1
-            batch_iter = common.store_batch_iter(store, tl, shard,
-                                                 single_dev=n_dev == 1)
+            single_dev_store = store is not None and store.mesh is None
+            batch_iter = common.store_batch_iter(store, tl, shard)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
                 it_epoch = epoch + i / steps_per_epoch
@@ -304,15 +303,18 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     vit_cfg = common.get_arch(args)
     if args.export_torch and (getattr(vit_cfg, "conv_stem", False)
-                              or not getattr(vit_cfg, "qkv_bias", True)):
+                              or not getattr(vit_cfg, "qkv_bias", True)
+                              or args.in_chans != 3):
         # fail FAST: params_to_torch_vit handles the plain-ViT layout
-        # only (patch['w'], biased qkv); discovering that AFTER the full
-        # training grid would throw the run away
+        # only (patch['w'], biased qkv, 3-channel patch embed);
+        # discovering that AFTER the full training grid would throw the
+        # run away
         raise SystemExit(
-            f"--export-torch does not support {args.arch}: the torch "
-            "export writes the plain vits.py layout (no conv-stem, "
-            "biased qkv). Drop --export-torch or use a vit_small/"
-            "vit_base/_ori arch.")
+            f"--export-torch does not support -a {args.arch} "
+            f"--in-chans {args.in_chans}: the torch export writes the "
+            "plain 3-channel vits.py layout (no conv-stem, biased qkv) "
+            "the reference finetune surgery loads. Drop --export-torch "
+            "or use a vit_small/vit_base/_ori arch with --in-chans 3.")
     folder = storage.get_storage_folder(args.exp_name, "moco",
                                         root=args.storage_root)
     harness.snapshot_args(folder, args)
