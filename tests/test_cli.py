@@ -449,3 +449,79 @@ def test_pretrain_cli_4ch_device_store(covid_root, capfd):
         "--semi-ratios", "1"])
     assert np.isfinite(results[0].extra["final_loss"])
     assert "device canvas store" in capfd.readouterr().out
+
+
+def test_store_fill_reuses_shared_decode_cache(covid_root, monkeypatch):
+    """Draw >= 2's store fill pass reads decoded canvases from the shared
+    per-policy RAM cache instead of re-decoding its split from disk (the
+    decode+resize fill prefix is deterministic across draws)."""
+    import argparse
+
+    from mfvit_tpu.cli import common
+    from mfvit_tpu.data import host_transforms as ht
+
+    ht._shared_decode_caches.clear()
+    calls = {"n": 0}
+    real = ht.decode_bgr
+
+    def counting_decode(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(ht, "decode_bgr", counting_decode)
+    args = argparse.Namespace(
+        aug_device=True, maintain_ratio=False, device_store_mb=64,
+        canvas_cache=True, canvas_cache_mb=64, img_size=32, crop=32,
+        batch_size=8, workers=1)
+    man = str(covid_root / "create_covid_dataset" / "1_labeled_train_0.txt")
+    try:
+        s1 = common.maybe_device_store(args, man, "data")
+        assert s1 is not None
+        n_first = calls["n"]
+        assert n_first == s1.n  # fill pass decoded every image once
+        common.release_store(s1)
+        s2 = common.maybe_device_store(args, man, "data")  # "draw 2"
+        assert s2 is not None
+        assert calls["n"] == n_first  # zero re-decodes: cache hit
+        common.release_store(s2)
+    finally:
+        ht._shared_decode_caches.clear()
+
+
+def test_lazy_eval_stores_builds_once(monkeypatch):
+    """The val/test eval-store pair is draw-independent: built on first
+    use and reused across the whole (ratio, draw) grid."""
+    from mfvit_tpu.cli import common
+
+    built = []
+
+    def fake_store(args, man, folder, **kw):
+        built.append(man)
+        return man
+
+    monkeypatch.setattr(common, "maybe_eval_device_store", fake_store)
+    get = common.lazy_eval_stores(None, "val.txt", "test.txt", "data")
+    assert get() == ("val.txt", "test.txt")
+    assert get() == ("val.txt", "test.txt")
+    assert built == ["val.txt", "test.txt"]
+
+
+def test_store_batch_iter_selects_by_store_mesh():
+    """Feed selection keys on the store's OWN placement: an unsharded
+    store yields index batches for the single-dispatch step; a sharded
+    store yields its device-resident batches."""
+    from mfvit_tpu.cli import common
+
+    class FakeStore:
+        mesh = None
+
+        def iter_index_batches(self):
+            return iter(["idx"])
+
+        def __iter__(self):
+            return iter(["sharded"])
+
+    s = FakeStore()
+    assert next(common.store_batch_iter(s, None, None)) == "idx"
+    s.mesh = object()
+    assert next(common.store_batch_iter(s, None, None)) == "sharded"
