@@ -80,3 +80,25 @@ out = infer.main(COMMON + ["--checkpoint", fuse_ck,
                            "--output", f"{root}/preds.json", "-b", "8",
                            "--report-throughput"])
 print("E2E OK:", out["metrics"])
+
+# Round-3 data layer: the same workflow through the HBM-resident canvas
+# store (square-resize policy; --device-store-mb defaults on). The fill
+# pass decodes each image once; epochs then run host-free — the notices
+# below confirm the store engaged on the real chip, not just CPU tests.
+print("=== pretrain, device-store fast path (square resize) ===")
+STORE_COMMON = [a for a in COMMON if a != "--maintain-ratio"]
+pretrain.main(STORE_COMMON + [
+    "--storage-root", f"{root}/pre_store", "-b", "16",
+    "--epochs", "2", "--warmup-epochs", "0", "--cos",
+    "--lr", "1.5e-4", "--optimizer", "adamw", "--wd", "0.1",
+    "--moco-dim", "64", "--moco-mlp-dim", "256",
+    "--moco-k", "64", "--moco-t", "0.2", "--moco-m-cos",
+    "--stop-grad-conv1"])
+
+print("=== LP finetune, device-store fast path ===")
+res = finetune.main(STORE_COMMON + [
+    "--storage-root", f"{root}/lp_store", "-b", "16",
+    "--epochs", "2", "--cos", "--lr", "0.3", "--optimizer", "sgd",
+    "--pretrained", f"{root}/backbone"])
+print("store-path LP test auc", res[0].test_auc)
+print("E2E STORE PATH OK")
