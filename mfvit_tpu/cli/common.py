@@ -227,8 +227,9 @@ def lazy_eval_stores(args, val_man: str, test_man: str, folder: str, *,
     """Lazily-built (val, test) eval-store pair, shared by finetune and
     fuse. Eval stores are draw-independent (deterministic canvases,
     fixed manifests), so one pair is built on first use and reused
-    across the whole (ratio, draw) grid; their HBM reservation is taken
-    from ``budget`` BEFORE any per-draw train store's."""
+    across the whole (ratio, draw) grid. Callers take the per-draw TRAIN
+    store's reservation from ``budget`` first — the hot loop must never
+    lose the fast path to the comparatively cheap eval passes."""
     cache = {}
 
     def get():
@@ -240,6 +241,20 @@ def lazy_eval_stores(args, val_man: str, test_man: str, folder: str, *,
         return cache["v"], cache["s"]
 
     return get
+
+
+def gpt_fusion_cfg(args, cfg):
+    """GPTFusionConfig matched to the ViT branch dims — ONE construction
+    shared by fuse (training) and infer (serving), so a ``--fusion-arch
+    gpt`` checkpoint always restores into the exact pytree shape it was
+    trained with."""
+    import dataclasses
+
+    from mfvit_tpu.models import gpt_fusion
+    return dataclasses.replace(gpt_fusion.VIT_CONFIG, n_embd=cfg.dim,
+                               n_layer=args.gpt_layers,
+                               vert_anchors=cfg.grid,
+                               horz_anchors=cfg.grid)
 
 
 def _fill_decode_cache(args, maintain_ratio: bool):

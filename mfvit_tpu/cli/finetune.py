@@ -121,19 +121,22 @@ def train_one_draw_fn(args, cfg):
         sl = common.make_covid_loader(args, test_man, args.folder,
                                       training=False, seed=0)
         mesh, n_dev = common.setup_mesh(args)
-        # val is evaluated EVERY epoch — keep its canvases resident too.
-        # Eval stores persist across the (ratio, draw) grid, so they
-        # reserve HBM budget BEFORE the per-draw train store.
-        ev, es = get_eval_stores()
-        vl, sl = ev or vl, es or sl
         # HBM-resident canvas store: epoch >= 2 trains with zero host
         # work and zero per-step H2D (falls back to streaming when
-        # ineligible — see common.maybe_device_store)
+        # ineligible — see common.maybe_device_store). The TRAIN store
+        # reserves budget first: training is the ~6x-hot feed, so when
+        # --device-store-mb cannot hold everything it is the eval stores
+        # that fall back to streaming, never the hot loop
         store = common.maybe_device_store(args, train_man, args.folder,
                                           n_dev=n_dev, mesh=mesh, seed=draw,
                                           budget=store_budget)
         if store is not None:
             tl = store
+        # val is evaluated EVERY epoch — keep its canvases resident too.
+        # Eval stores persist across the (ratio, draw) grid: built on
+        # first use from whatever budget the draw-1 train store left
+        ev, es = get_eval_stores()
+        vl, sl = ev or vl, es or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,

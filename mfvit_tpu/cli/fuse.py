@@ -94,14 +94,8 @@ def train_one_draw_fn(args, cfg):
                                               "data", paired=True,
                                               budget=store_budget)
 
-    gpt_cfg = None
-    if args.fusion_arch == "gpt":
-        import dataclasses as _dc
-
-        from mfvit_tpu.models import gpt_fusion
-        gpt_cfg = _dc.replace(gpt_fusion.VIT_CONFIG, n_embd=cfg.dim,
-                              n_layer=args.gpt_layers,
-                              vert_anchors=cfg.grid, horz_anchors=cfg.grid)
+    gpt_cfg = (common.gpt_fusion_cfg(args, cfg)
+               if args.fusion_arch == "gpt" else None)
 
     def train_one_draw(ratio, draw, sub_folder, writer):
         key = jax.random.fold_in(common.jax_key(args), draw)
@@ -153,16 +147,19 @@ def train_one_draw_fn(args, cfg):
         sl = common.make_covid_loader(args, test_man, "data", training=False,
                                       paired=True, seed=0)
         mesh, n_dev = common.setup_mesh(args)
-        # eval stores persist across the (ratio, draw) grid — they
-        # reserve HBM budget BEFORE the per-draw train store
-        ev, es = get_eval_stores()
-        vl, sl = ev or vl, es or sl
-        # HBM-resident paired canvas store (see common.maybe_device_store)
+        # HBM-resident paired canvas store (see common.maybe_device_store).
+        # The TRAIN store reserves budget first: training is the ~6x-hot
+        # feed, so when --device-store-mb cannot hold everything it is
+        # the eval stores that fall back to streaming, never the hot loop
         store = common.maybe_device_store(args, train_man, "data",
                                           paired=True, n_dev=n_dev, mesh=mesh,
                                           seed=draw, budget=store_budget)
         if store is not None:
             tl = store
+        # eval stores persist across the (ratio, draw) grid: built on
+        # first use from whatever budget the draw-1 train store left
+        ev, es = get_eval_stores()
+        vl, sl = ev or vl, es or sl
         steps_per_epoch = max(len(tl), 1)
 
         init_lr = optim.scaled_init_lr(args.lr, args.batch_size,
@@ -231,7 +228,10 @@ def train_one_draw_fn(args, cfg):
             batch_iter = common.store_batch_iter(store, tl, shard)
             for i, batch in enumerate(batch_iter):
                 timer.data_ready()
-                k_aug, ka, kb = jax.random.split(k_aug, 3)
+                # the fused store step derives BOTH branches' crop/aug
+                # draws internally from one key; only the streaming and
+                # sharded-store paths need a per-branch pair
+                k_aug, ka = jax.random.split(k_aug)
                 if single_dev_store:
                     idx = batch
                     params, opt_state, loss, _ = store_train_step(
@@ -239,6 +239,7 @@ def train_one_draw_fn(args, cfg):
                         store.canvases[1], store.labels, idx, ka)
                     n_b = int(idx.shape[0])
                 else:
+                    ka, kb = jax.random.split(ka)
                     cxr, enh, labels = batch
                     if store is not None:
                         # sharded store: on-device crop prelude

@@ -24,6 +24,7 @@ from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.models import fusion as fusion_mod
 from mfvit_tpu.nn import vit as vit_mod
 from mfvit_tpu.train import metrics
+from mfvit_tpu.train import steps as steps_mod
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -52,12 +53,8 @@ def main(argv=None):
     k = jax.random.PRNGKey(0)
     gpt_cfg = None
     if args.fusion_arch == "gpt":
-        import dataclasses as _dc
-
         from mfvit_tpu.models import gpt_fusion
-        gpt_cfg = _dc.replace(gpt_fusion.VIT_CONFIG, n_embd=cfg.dim,
-                              n_layer=args.gpt_layers,
-                              vert_anchors=cfg.grid, horz_anchors=cfg.grid)
+        gpt_cfg = common.gpt_fusion_cfg(args, cfg)
         fus_like = gpt_fusion.init(k, gpt_cfg, num_classes=args.num_classes)
         if args.int8:
             raise SystemExit("--int8 serving is wired for the CA fusion "
@@ -83,27 +80,16 @@ def main(argv=None):
 
     dt = common.compute_dtype(args)
 
+    # the SAME forward the fuse CLI trained/selected the checkpoint with
+    # (train/steps.py) — serving cannot drift from the model_best math
+    fwd3 = steps_mod.make_fusion_forward(
+        cfg, heads=args.fusion_heads, compute_dtype=dt,
+        attn_backend=args.attn_backend, fusion_arch=args.fusion_arch,
+        gpt_cfg=gpt_cfg)
+
     @jax.jit
     def fwd(p, xc, xe):
-        if args.fusion_arch == "gpt":
-            from mfvit_tpu.models import gpt_fusion
-            from mfvit_tpu.nn.layers import linear
-
-            def branch(bp, img):
-                body = {kk: v for kk, v in bp.items() if kk != "head"}
-                tokens, cls = vit_mod.apply(
-                    body, img, cfg, compute_dtype=dt,
-                    attn_backend=args.attn_backend, return_features=True)
-                return tokens, linear(bp["head"], cls)
-
-            tok_c, lc = branch(p["cxr"], xc)
-            tok_e, le = branch(p["enh"], xe)
-            fused = gpt_fusion.apply(p["fus"], tok_c, tok_e, gpt_cfg)
-            return fused + lc + le
-        fused, lc, le = fusion_mod.fused_forward(
-            p["cxr"], p["enh"], p["fus"], xc, xe, cfg,
-            heads=args.fusion_heads, compute_dtype=dt,
-            attn_backend=args.attn_backend)
+        fused, lc, le = fwd3(p, xc, xe)
         return fused + lc + le
 
     loader = common.make_covid_loader(args, args.manifest, "data",

@@ -68,6 +68,64 @@ def make_classifier_steps(cfg: vit_mod.ViTConfig,
 
 # --------------------------------------------------------------- fusion
 
+def make_fusion_forward(cfg: vit_mod.ViTConfig, *, heads: int = 3,
+                        compute_dtype=jnp.bfloat16,
+                        attn_backend: Optional[str] = None,
+                        fusion_arch: str = "ca", gpt_cfg=None,
+                        frozen: bool = False) -> Callable:
+    """``forward(params, img_cxr, img_enh) -> (fused, logits_cxr,
+    logits_enh)`` — the ONE MF-ViT forward shared by training, eval and
+    serving (cli/infer.py); the decision logits are the sum of the three
+    outputs (fusion main :868). Keeping a single definition means a
+    checkpoint always serves with exactly the math that selected it as
+    model_best.
+
+    ``frozen=True`` stops gradients at the token/feature boundary (the
+    LP fusion protocol); it routes through the generic per-branch path
+    since the fused CA kernel has no stop-gradient seam."""
+    if fusion_arch not in ("ca", "gpt"):
+        raise ValueError(f"unknown fusion_arch {fusion_arch!r}")
+    if fusion_arch == "gpt":
+        from mfvit_tpu.models import gpt_fusion
+        if gpt_cfg is None:
+            gpt_cfg = gpt_fusion.VIT_CONFIG
+
+    def head_apply(fus_params, tok_c, tok_e):
+        if fusion_arch == "gpt":
+            from mfvit_tpu.models import gpt_fusion
+            return gpt_fusion.apply(fus_params, tok_c, tok_e, gpt_cfg)
+        return fusion_mod.apply(fus_params, tok_c, tok_e, heads,
+                                attn_backend=attn_backend)
+
+    def forward_generic(params, img_cxr, img_enh):
+        from mfvit_tpu.nn.layers import linear
+
+        def branch(p, img):
+            body = {k: v for k, v in p.items() if k != "head"}
+            tokens, cls = vit_mod.apply(
+                body, img, cfg, compute_dtype=compute_dtype,
+                attn_backend=attn_backend, return_features=True)
+            if frozen:
+                tokens = jax.lax.stop_gradient(tokens)
+                cls = jax.lax.stop_gradient(cls)
+            return tokens, linear(p["head"], cls)
+
+        tok_c, lc = branch(params["cxr"], img_cxr)
+        tok_e, le = branch(params["enh"], img_enh)
+        fused = head_apply(params["fus"], tok_c, tok_e)
+        return fused, lc, le
+
+    def forward(params, img_cxr, img_enh):
+        if fusion_arch == "ca" and not frozen:
+            return fusion_mod.fused_forward(
+                params["cxr"], params["enh"], params["fus"], img_cxr,
+                img_enh, cfg, heads=heads, compute_dtype=compute_dtype,
+                attn_backend=attn_backend)
+        return forward_generic(params, img_cxr, img_enh)
+
+    return forward
+
+
 def make_fusion_steps(cfg: vit_mod.ViTConfig,
                       tx: optax.GradientTransformation, *,
                       heads: int = 3, compute_dtype=jnp.bfloat16,
@@ -96,48 +154,14 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
     set (branch heads + fusion) matches the optimizer mask; their
     gradients are identical to the unfrozen formulation."""
 
-    if fusion_arch not in ("ca", "gpt"):
-        raise ValueError(f"unknown fusion_arch {fusion_arch!r}")
-    if fusion_arch == "gpt":
-        from mfvit_tpu.models import gpt_fusion
-        if gpt_cfg is None:
-            gpt_cfg = gpt_fusion.VIT_CONFIG
-
-    def head_apply(fus_params, tok_c, tok_e):
-        if fusion_arch == "gpt":
-            from mfvit_tpu.models import gpt_fusion
-            return gpt_fusion.apply(fus_params, tok_c, tok_e, gpt_cfg)
-        return fusion_mod.apply(fus_params, tok_c, tok_e, heads,
-                                attn_backend=attn_backend)
-
-    def forward(params, img_cxr, img_enh):
-        if fusion_arch == "ca":
-            return fusion_mod.fused_forward(
-                params["cxr"], params["enh"], params["fus"], img_cxr,
-                img_enh, cfg, heads=heads, compute_dtype=compute_dtype,
-                attn_backend=attn_backend)
-        return forward_generic(params, img_cxr, img_enh, frozen=False)
-
-    def forward_generic(params, img_cxr, img_enh, *, frozen):
-        from mfvit_tpu.nn.layers import linear
-
-        def branch(p, img):
-            body = {k: v for k, v in p.items() if k != "head"}
-            tokens, cls = vit_mod.apply(
-                body, img, cfg, compute_dtype=compute_dtype,
-                attn_backend=attn_backend, return_features=True)
-            if frozen:
-                tokens = jax.lax.stop_gradient(tokens)
-                cls = jax.lax.stop_gradient(cls)
-            return tokens, linear(p["head"], cls)
-
-        tok_c, lc = branch(params["cxr"], img_cxr)
-        tok_e, le = branch(params["enh"], img_enh)
-        fused = head_apply(params["fus"], tok_c, tok_e)
-        return fused, lc, le
-
-    def forward_frozen(params, img_cxr, img_enh):
-        return forward_generic(params, img_cxr, img_enh, frozen=True)
+    forward = make_fusion_forward(
+        cfg, heads=heads, compute_dtype=compute_dtype,
+        attn_backend=attn_backend, fusion_arch=fusion_arch,
+        gpt_cfg=gpt_cfg)
+    forward_frozen = make_fusion_forward(
+        cfg, heads=heads, compute_dtype=compute_dtype,
+        attn_backend=attn_backend, fusion_arch=fusion_arch,
+        gpt_cfg=gpt_cfg, frozen=True)
 
     def loss_fn(params, img_cxr, img_enh, labels):
         fwd = forward_frozen if freeze_backbones else forward
