@@ -200,6 +200,15 @@ class StoreBudget:
         self.left += nbytes
 
 
+def _store_nbytes(n: int, side: int, chans: int, n_dev: int) -> int:
+    """HBM bytes a DeviceCanvasStore fill will actually pin: the sample
+    count WRAP-PADDED to a multiple of the mesh size (fill_from_dataset
+    pads the same way) times uint8 canvas bytes, plus the int64 label
+    row per sample."""
+    padded = n if n_dev <= 1 or n % n_dev == 0 else n + n_dev - n % n_dev
+    return padded * (side * side * chans + 8)
+
+
 def release_store(store) -> None:
     """Return a per-draw store's HBM reservation to the shared budget.
     Safe on None and on stores created without a budget."""
@@ -322,7 +331,8 @@ def maybe_device_store(args, manifest_path: str, folder: str, *,
                                    decode=decode)
     if budget is None:
         budget = StoreBudget(args.device_store_mb)
-    nbytes = len(ds) * args.img_size * args.img_size * chans
+    nbytes = _store_nbytes(len(ds), args.img_size, chans,
+                           n_dev if mesh is not None else 1)
     if not budget.reserve(nbytes):
         print("=> device canvas store: does not fit --device-store-mb "
               "budget; streaming feed for this draw")
@@ -366,7 +376,8 @@ def maybe_eval_device_store(args, manifest_path: str, folder: str, *,
     side = args.crop or args.img_size
     if budget is None:
         budget = StoreBudget(args.device_store_mb)
-    if not budget.reserve(len(ds) * side * side * (6 if paired else 3)):
+    if not budget.reserve(_store_nbytes(len(ds), side,
+                                        6 if paired else 3, 1)):
         print("=> eval device canvas store: does not fit "
               "--device-store-mb budget; streaming eval feed")
         return None

@@ -18,7 +18,6 @@ program runs single-controller over a ``jax.sharding.Mesh``:
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Sequence
 
 import numpy as np
@@ -131,35 +130,8 @@ def make_moco_parallel_step(cfg: moco_mod.MoCoConfig,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-# ----------------------------------------------- supervised jit wrappers
-
-def jit_data_parallel(step_fn, mesh: Mesh, *, donate: Sequence[int] = (0, 1),
-                      n_state_args: int = 2, axis: str = "data"):
-    """jit a supervised step with explicit shardings: the first
-    ``n_state_args`` arguments replicated, the rest batch-sharded. XLA's
-    partitioner inserts the gradient all-reduce (DDP equivalent).
-
-    ``step_fn`` must be a RAW (un-jitted) function — the factory-built
-    steps (train.steps.make_*_steps) are already jitted with
-    donate_argnums and shard correctly when fed sharded arrays directly
-    (tests/test_parallel.py does exactly that); wrapping them here would
-    nest jit and silently drop the inner donation."""
-    if isinstance(step_fn, jax.stages.Wrapped):
-        raise TypeError(
-            "jit_data_parallel wraps raw step functions; the factory "
-            "steps are already jitted — pass them sharded arrays instead")
-    rep = replicated(mesh)
-    shd = batch_sharded(mesh, axis)
-
-    @functools.lru_cache(maxsize=None)
-    def jitted_for(nargs: int):
-        shardings = tuple(rep if i < n_state_args else shd
-                          for i in range(nargs))
-        return jax.jit(step_fn, in_shardings=shardings,
-                       donate_argnums=tuple(donate))
-
-    @functools.wraps(step_fn)
-    def call(*args):
-        return jitted_for(len(args))(*args)
-
-    return call
+# NOTE: a jit_data_parallel helper used to live here; it was unused by
+# every CLI (the factory steps in train.steps are already jitted and
+# shard correctly when fed sharded arrays) and was removed — supervised
+# data parallelism is "replicate params, shard the batch, call the
+# factory step" with no wrapper.

@@ -16,26 +16,6 @@ from mfvit_tpu.train import optim, steps
 TINY = vit.ViTConfig("tiny", img_size=32, patch=16, dim=32, depth=1, heads=2)
 
 
-def test_jit_data_parallel_no_retrace(rng):
-    """jit_data_parallel must create the jitted step ONCE per arity —
-    re-creating it per call would retrace every step."""
-    m = pmesh.make_mesh(8)
-    traces = []
-
-    def step(params, opt_state, x):
-        traces.append(1)
-        return params, opt_state, jnp.sum(x * params["w"])
-
-    call = pmesh.jit_data_parallel(step, m)
-    p = pmesh.replicate({"w": jnp.float32(2.0)}, m)
-    s = pmesh.replicate({"mu": jnp.float32(0.0)}, m)
-    for i in range(3):
-        x = pmesh.shard_batch(jnp.ones((8, 4)) * i, m)
-        p, s, out = call(p, s, x)
-    assert len(traces) == 1
-    np.testing.assert_allclose(float(out), 2.0 * 8 * 4 * 2)
-
-
 def test_init_distributed_plumbs_coordinator(monkeypatch):
     """init_distributed forwards explicit coordinator args to
     jax.distributed.initialize (multi-host DCN path, mocked — the
