@@ -542,7 +542,7 @@ def test_store_budget_released_across_draws(tmp_path):
         batch_size=2, img_size=16, crop=16, maintain_ratio=False,
         aug_device=True, workers=1, rotate=0.0,
         canvas_cache=False, canvas_cache_mb=0, device_store_mb=1)
-    nbytes = 4 * 16 * 16 * 3
+    nbytes = common._store_nbytes(4, 16, 3, 1)  # canvases + label rows
     budget = common.StoreBudget(0)
     budget.left = nbytes  # exactly ONE train store fits at a time
     s1 = common.maybe_device_store(args, man, "data", seed=0,
