@@ -149,7 +149,8 @@ def make_ssl_two_crops_loader(args, manifest_path: str, folder: str, *,
                           variant=variant, seed=seed)
     ds = datasets.CovidTwoCropsDataset(folder, manifest_path, tf)
     return pipeline.BatchLoader(ds, args.batch_size, shuffle=True, seed=seed,
-                                drop_last=True, num_workers=args.workers)
+                                drop_last=True, num_workers=args.workers,
+                                **process_feed_kwargs())
 
 
 def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
@@ -175,7 +176,8 @@ def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
         per_enh=getattr(args, "per_enh", 1.0), seed=seed, decode=decode)
     return pipeline.BatchLoader(ds, args.batch_size, shuffle=True,
                                 seed=seed, drop_last=True,
-                                num_workers=args.workers)
+                                num_workers=args.workers,
+                                **process_feed_kwargs())
 
 
 class StoreBudget:
@@ -467,18 +469,42 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
     return pipeline.BatchLoader(ds, bs, shuffle=training, seed=seed,
                                 drop_last=training,
                                 pad_final=not training,
-                                num_workers=args.workers)
+                                num_workers=args.workers,
+                                **process_feed_kwargs())
 
 
-def setup_mesh(args):
+def setup_mesh(args, *, multihost_ok: bool = False):
     """Build the data mesh for a CLI run (--mesh-devices, default all).
 
     Returns (mesh, n_devices). With n > 1 the caller replicates params /
     optimizer state and shards batches — XLA then inserts the gradient
-    all-reduce (the DDP equivalent, SURVEY §2.6)."""
+    all-reduce (the DDP equivalent, SURVEY §2.6).
+
+    Multi-process (multi-host) runs — every process launched with
+    ``jax.distributed`` initialized, the reference's multi-node DDP
+    regime (pretrain main :99-110) — must span ALL global devices;
+    only entry points that pass ``multihost_ok`` support it (pretrain,
+    matching the reference: its finetune/fusion mains are single-GPU,
+    SURVEY §2.6)."""
     import jax as _jax
 
     from mfvit_tpu.parallel import mesh as pmesh
+    nproc = _jax.process_count()
+    if nproc > 1:
+        if not multihost_ok:
+            raise SystemExit(
+                "multi-process execution is pretrain-only (the reference "
+                "finetune/fusion mains are single-GPU — SURVEY §2.6); run "
+                "this entry point single-process")
+        n = len(_jax.devices())
+        if args.mesh_devices not in (None, n):
+            raise SystemExit(
+                f"--mesh-devices {args.mesh_devices} under "
+                f"{nproc} processes: the multi-host mesh must span all "
+                f"{n} global devices")
+        mesh = pmesh.make_mesh(n)
+        pmesh.assert_divisible(args.batch_size, mesh)
+        return mesh, n
     if args.mesh_devices is None:
         # default: largest device count that divides the batch
         avail = len(_jax.devices())
@@ -490,6 +516,26 @@ def setup_mesh(args):
     if n > 1:
         pmesh.assert_divisible(args.batch_size, mesh)
     return mesh, n
+
+
+def process_feed_kwargs() -> dict:
+    """BatchLoader kwargs for per-process input sharding: on a
+    multi-process run each host decodes only the contiguous sub-batch
+    its devices own (DistributedSampler equivalent, pretrain main :309,
+    :436); single-process runs get the plain global feed."""
+    if jax.process_count() > 1:
+        return dict(process_index=jax.process_index(),
+                    process_count=jax.process_count())
+    return {}
+
+
+def primary_process_prints_only() -> None:
+    """Silence ``print`` on non-primary processes — the reference does
+    exactly this for non-rank-0 DDP workers (pretrain main :220-223).
+    Writers/pickles are separately gated in exp.harness/storage."""
+    import builtins
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        builtins.print = lambda *a, **k: None
 
 
 def batch_sharding(mesh, n_dev: int):

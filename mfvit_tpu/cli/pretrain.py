@@ -63,6 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="P(q is the Enh image) for --pairing enh_cxr "
                         "(the mix variant, loader.py:261-328)")
     p.add_argument("--save-epoch", type=int, default=30)
+    # multi-host launch (the reference's tcp:// DDP rendezvous flags
+    # --dist-url/--world-size/--rank, pretrain main :99-110): start the
+    # SAME command on every host with its own --dist-process-id; on
+    # Cloud TPU pods omit all three (auto-discovery)
+    p.add_argument("--dist-coordinator", default=None, type=str,
+                   help="coordinator address host:port for multi-host "
+                        "runs (omit on Cloud TPU pods: auto-discovered)")
+    p.add_argument("--dist-num-processes", default=None, type=int)
+    p.add_argument("--dist-process-id", default=None, type=int)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (implied by "
+                        "--dist-coordinator)")
     p.add_argument("--export-torch", action="store_true",
                    help="also write a reference-layout .pth.tar (module."
                         "base_encoder.* + projector head) consumable by "
@@ -123,7 +135,7 @@ def train_one_draw_fn(args, vit_cfg):
         host_transformed = byol or cross_modal or not args.aug_device
         steps_per_epoch = max(len(tl), 1)
 
-        mesh, n_dev = common.setup_mesh(args)
+        mesh, n_dev = common.setup_mesh(args, multihost_ok=True)
         if cfg.loss == "v2_queue" and cfg.K % args.batch_size != 0:
             # not assert: the queue invariant must survive python -O
             raise ValueError(
@@ -191,8 +203,12 @@ def train_one_draw_fn(args, vit_cfg):
         # epoch/model/optimizer/scaler — pretrain main :356-372)
         start_epoch = args.start_epoch
         if args.resume:
-            like = {"state": state, "opt_state": opt_state,
-                    "epoch": jnp.zeros((), jnp.int32)}
+            ep0 = jnp.zeros((), jnp.int32)
+            if jax.process_count() > 1:
+                # restore target leaves must be global arrays on a
+                # multi-host run (orbax restores with their shardings)
+                ep0 = pmesh.replicate(ep0, mesh)
+            like = {"state": state, "opt_state": opt_state, "epoch": ep0}
             ck = ckpt_mod.restore(args.resume, like=like)
             state, opt_state = ck["state"], ck["opt_state"]
             start_epoch = int(ck["epoch"]) + 1
@@ -301,6 +317,11 @@ def train_one_draw_fn(args, vit_cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.distributed or args.dist_coordinator is not None:
+        pmesh.init_distributed(args.dist_coordinator,
+                               num_processes=args.dist_num_processes,
+                               process_id=args.dist_process_id)
+        common.primary_process_prints_only()
     vit_cfg = common.get_arch(args)
     if args.export_torch and (getattr(vit_cfg, "conv_stem", False)
                               or not getattr(vit_cfg, "qkv_bias", True)

@@ -34,6 +34,9 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mfvit_tpu.parallel.hostput import (local_row_block, put_global,
+                                        put_local_rows)
+
 
 class _SizedView:
     """Duck-types ``loader.ds`` for code that asks ``len(loader.ds)``."""
@@ -153,7 +156,8 @@ class DeviceCanvasStore:
                     c = np.concatenate([c, perms[k][: local_bs - len(c)]])
                 chunks.append(c)
             # device k's slice holds LOCAL row ids into its own shard
-            gidx = jax.device_put(
+            # (put_global: multi-process meshes get only their slices)
+            gidx = put_global(
                 np.concatenate(chunks).astype(np.int32), ispec)
             out = self._gather(*self._canvs, self.labels, gidx)
             yield tuple(out[:-1]) + (out[-1],)
@@ -184,15 +188,28 @@ def fill_from_dataset(ds, *, batch_size: int, seed: int = 0,
     uint8 canvas + label — use a DETERMINISTIC transform (eval-style
     CanvasTransform with crop=img_size) so the store holds the pre-crop
     canvas; per-epoch crop/flip/rotation randomness is drawn on-device
-    afterwards."""
-    with ThreadPoolExecutor(num_workers) as pool:
-        samples = list(pool.map(ds.__getitem__, range(len(ds))))
+    afterwards.
+
+    On a MULTI-PROCESS mesh each host decodes only the contiguous row
+    block its own devices shard (``local_row_block``) and the global
+    table is assembled via ``jax.make_array_from_process_local_data`` —
+    fill cost divides by the host count and no host ever holds the full
+    dataset (the reference's per-rank DistributedSampler partition,
+    pretrain main :425-442)."""
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-    if n_dev > 1 and len(samples) % n_dev:
+    rows = list(range(len(ds)))
+    if n_dev > 1 and len(rows) % n_dev:
         # pad by wrapping so the table shards evenly (the reference's
         # DistributedSampler pads the same way)
-        samples = samples + samples[: n_dev - len(samples) % n_dev]
+        rows = rows + rows[: n_dev - len(rows) % n_dev]
     sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
+    if sharding is not None and not sharding.is_fully_addressable:
+        lo, hi = local_row_block(len(rows))
+        local_rows = rows[lo:hi]
+    else:
+        local_rows = rows
+    with ThreadPoolExecutor(num_workers) as pool:
+        samples = list(pool.map(ds.__getitem__, local_rows))
     n_canv = len(samples[0]) - 1 if isinstance(samples[0], tuple) else 1
     canvs = []
     for j in range(n_canv):
@@ -201,10 +218,9 @@ def fill_from_dataset(ds, *, batch_size: int, seed: int = 0,
             raise ValueError("device store expects uint8 canvases (got "
                              f"{c.dtype}); host-transformed float paths "
                              "must stream")
-        canvs.append(jax.device_put(c, sharding))
-    lab = np.asarray([s[-1] for s in samples])
+        canvs.append(put_local_rows(c, sharding))
+    lab = put_local_rows(np.asarray([s[-1] for s in samples]), sharding)
     return DeviceCanvasStore(
-        canvs[0] if n_canv == 1 else tuple(canvs),
-        jax.device_put(lab, sharding),
+        canvs[0] if n_canv == 1 else tuple(canvs), lab,
         batch_size=batch_size, seed=seed, drop_last=drop_last,
         shuffle=shuffle, num_samples=len(ds), mesh=mesh)

@@ -39,7 +39,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, num_workers: int = 8,
-                 prefetch: int = 3, pad_final: bool = False):
+                 prefetch: int = 3, pad_final: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         assert not (drop_last and pad_final)
         self.ds = dataset
         self.bs = batch_size
@@ -50,6 +51,25 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.epoch = 0
+        # Multi-process (multi-host) input sharding, the DistributedSampler
+        # equivalent (pretrain main :309, :436): the GLOBAL shuffle and
+        # batching are computed identically on every process (same seed),
+        # then process p decodes only the contiguous sub-batch that lands
+        # on its own devices. Contiguity matters: jax orders the global
+        # device list by process, so rows [p*B/P, (p+1)*B/P) of a
+        # 'data'-axis-sharded global batch are exactly process p's
+        # addressable shards (assembled by device_prefetch via
+        # jax.make_array_from_process_local_data).
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"batch {batch_size} not divisible by process_count "
+                    f"{process_count}")
+            if not (drop_last or pad_final):
+                raise ValueError("multi-process loading needs a static "
+                                 "batch shape: drop_last or pad_final")
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -90,6 +110,12 @@ class BatchLoader:
                     reps = -(-(self.bs - len(chunk)) // max(len(idx), 1))
                     pad = np.tile(idx, reps)[: self.bs - len(chunk)]
                     chunk = np.concatenate([chunk, pad])
+            if self.process_count > 1:
+                # slice AFTER global batching so the assembled global batch
+                # is identical to a single-process run over the same seed
+                local = self.bs // self.process_count
+                chunk = chunk[self.process_index * local:
+                              (self.process_index + 1) * local]
             batches.append(chunk)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -136,9 +162,18 @@ def device_prefetch(it: Iterator, *, sharding=None, depth: int = 2):
     ``sharding`` is an optional ``jax.sharding.Sharding`` (e.g. batch split
     over the mesh 'data' axis) applied to every array in the batch — the
     TPU-side replacement for DistributedSampler's per-rank slicing.
+
+    When the sharding spans multiple PROCESSES (multi-host mesh), each
+    process's iterator must yield only its local sub-batch (a BatchLoader
+    with process_index/process_count set); the local pieces are assembled
+    into one global sharded jax.Array via
+    ``jax.make_array_from_process_local_data`` — no host ever holds the
+    global batch.
     """
+    from mfvit_tpu.parallel.hostput import put_local_rows
+
     def put(batch):
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(lambda x: put_local_rows(x, sharding), batch)
 
     buf = []
     for batch in it:

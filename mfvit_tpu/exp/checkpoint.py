@@ -30,18 +30,45 @@ Params = Any
 # ----------------------------------------------------------------- orbax
 
 def save(path: str, tree: Params) -> None:
+    """Write one logical checkpoint.
+
+    Multi-process (multi-host mesh): every process calls this — orbax
+    coordinates a single write (each process persists only its
+    addressable shards; replicated arrays are written once). This is the
+    safe replacement for the reference's rank-0-only ``torch.save``
+    (pretrain main :469-471): a host-side gather of non-fully-addressable
+    arrays would crash, and uncoordinated writers would race the
+    directory commit."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ck:
-        ck.save(path, jax.tree.map(np.asarray, tree), force=True)
+        if jax.process_count() > 1:
+            # global (process-spanning) jax.Arrays stay as-is — orbax
+            # writes each process's shards. Host-local leaves (python
+            # scalars, numpy, single-device arrays like an epoch counter)
+            # become numpy: identical on every process by construction,
+            # written once by the primary.
+            tree = jax.tree.map(
+                lambda x: x if isinstance(x, jax.Array)
+                and not x.is_fully_addressable else np.asarray(x),
+                tree)
+            ck.save(path, tree, force=True)
+        else:
+            ck.save(path, jax.tree.map(np.asarray, tree), force=True)
 
 
 def restore(path: str, like: Optional[Params] = None) -> Params:
+    """Restore a checkpoint; with ``like``, arrays come back with the
+    template leaves' dtypes — and, on a multi-process mesh, with their
+    shardings (orbax reads each process's shards from the shared
+    filesystem; no broadcast needed)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ck:
         if like is None:
             return ck.restore(path)
+        if jax.process_count() > 1:
+            return ck.restore(path, target=like)
         like_np = jax.tree.map(np.asarray, like)
         out = ck.restore(path, target=like_np)
     return jax.tree.map(jnp.asarray, out)

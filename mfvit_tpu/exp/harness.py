@@ -33,7 +33,10 @@ def draws_for(ratio, table: Optional[Dict] = None) -> int:
 
 
 def snapshot_args(folder: Path, args: Any) -> None:
-    """``commandline_args.txt`` JSON dump of the full config namespace."""
+    """``commandline_args.txt`` JSON dump of the full config namespace.
+    Multi-process runs write it once (primary process)."""
+    if not storage.is_primary():
+        return
     d = vars(args) if hasattr(args, "__dict__") else dict(args)
     with open(Path(folder) / "commandline_args.txt", "w") as f:
         json.dump({k: repr(v) if not isinstance(
@@ -66,10 +69,15 @@ def run_draws(exp_folder: Path, ratios: Sequence, train_one_draw: Callable,
 
     results: List[DrawResult] = []
     all_auc, all_acc = [], []
+    primary = storage.is_primary()
 
     def dump():
         # written after EVERY draw (and in the crash path): a failure in
-        # draw N must not discard days of completed-draw metrics
+        # draw N must not discard days of completed-draw metrics.
+        # Primary process only — every process computes identical values
+        # on a multi-host run; concurrent writers would race the files.
+        if not primary:
+            return
         with open(Path(exp_folder) / "all_test_auc.pickle", "wb") as f:
             pickle.dump(all_auc, f)
         with open(Path(exp_folder) / "all_test_acc.pickle", "wb") as f:
@@ -88,7 +96,7 @@ def run_draws(exp_folder: Path, ratios: Sequence, train_one_draw: Callable,
             for it in range(draws_for(s, iterations)):
                 sub = storage.get_storage_sub_folder(exp_folder, s, it)
                 writer = None
-                if SummaryWriter is not None:
+                if SummaryWriter is not None and primary:
                     writer = SummaryWriter(
                         os.path.join(exp_folder, f"{tb_prefix}_{s}_{it}"))
                 try:

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mfvit_tpu.ssl import moco as moco_mod
 from mfvit_tpu.nn import vit as vit_mod
+from mfvit_tpu.parallel.hostput import put_global  # noqa: F401 (re-export)
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -78,13 +79,13 @@ def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Place a pytree replicated on every mesh device."""
     s = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: put_global(x, s), tree)
 
 
 def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Split the leading (batch) dim of every leaf over the mesh axis."""
     s = batch_sharded(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: put_global(x, s), tree)
 
 
 def assert_divisible(global_batch: int, mesh: Mesh, axis: str = "data"):
