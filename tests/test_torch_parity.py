@@ -3,6 +3,7 @@ torch ViT, and our fusion head vs the REFERENCE Fus_CrossViT imported from
 /root/reference (with timm stubbed), weights carried across by the
 exp.checkpoint converters. This is the 'fp32 logits matching the PyTorch
 reference' requirement of BASELINE.json's north star."""
+import math
 import sys
 import types
 
@@ -518,6 +519,74 @@ def test_loss_curve_matches_torch_over_five_steps():
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)
 
 
+def test_lp_long_horizon_matches_torch():
+    """LONG-horizon linear-probe parity (VERDICT r3 #4a): 60 SGD-momentum
+    steps across 5 epochs with the per-EPOCH cosine LR crossing four epoch
+    boundaries, reference LP protocol (freeze all but head + model.eval,
+    finetune :283-287, :682-685, :870-881). Asserts the full 60-point loss
+    curve, final head params, and bit-frozen backbone."""
+    from mfvit_tpu.train import optim, steps
+
+    torch.manual_seed(31)
+    tm = TorchViT(TINY).eval()
+    params = jax.tree.map(
+        jnp.copy, ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY))
+    epochs, spe, bs = 5, 12, 4
+    init_lr, wd, mom = 0.3, 1e-4, 0.9
+    rng = np.random.default_rng(32)
+    batches = [(rng.normal(size=(bs, 32, 32, 3)).astype(np.float32),
+                rng.integers(0, 3, bs)) for _ in range(epochs * spe)]
+
+    for n, p in tm.named_parameters():
+        p.requires_grad = n.startswith("head")
+    opt = torch.optim.SGD([p for p in tm.parameters() if p.requires_grad],
+                          lr=init_lr, momentum=mom, weight_decay=wd)
+    ce = nn.CrossEntropyLoss()
+    ref_losses = []
+    for e in range(epochs):
+        # the reference's per-epoch cosine adjust (finetune :870-881)
+        for g in opt.param_groups:
+            g["lr"] = init_lr * 0.5 * (1.0 + math.cos(math.pi * e / epochs))
+        for imgs, labels in batches[e * spe:(e + 1) * spe]:
+            opt.zero_grad()
+            loss = ce(tm(torch.tensor(imgs).permute(0, 3, 1, 2)),
+                      torch.tensor(labels))
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+
+    mask = optim.head_only_mask(params)
+    tx = optim.build_optimizer(
+        "sgd", optim.finetune_lr(init_lr, epochs, cos=True,
+                                 steps_per_epoch=spe),
+        weight_decay=wd, momentum=mom, trainable_mask=mask)
+    train_step, _ = steps.make_classifier_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla")
+    frozen_before = jax.device_get(
+        {k: v for k, v in params.items() if k != "head"})
+    opt_state = tx.init(params)
+    our_losses = []
+    for imgs, labels in batches:
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, jnp.asarray(imgs), jnp.asarray(labels))
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)
+    # atol 3e-5: fp32 accumulation over 60 momentum updates (measured
+    # max drift 1.1e-5 on 1/96 head weights)
+    _assert_params_close(
+        params["head"],
+        ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY)["head"],
+        rtol=1e-4, atol=3e-5)
+    # the sanity_check property: frozen leaves bit-identical after 60 steps
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                {k: v for k, v in params.items() if k != "head"}),
+            jax.tree_util.tree_leaves_with_path(frozen_before)):
+        np.testing.assert_array_equal(
+            np.asarray(a), b, err_msg=jax.tree_util.keystr(pa))
+
+
 # ----------------------- MoCo objective parity vs the REFERENCE builder --
 # THE pretraining objective (SURVEY §2.3): forward_v2_queue must match the
 # actual builder_vit_mocov3structure_mocov2loss.MoCo_ViT imported from
@@ -903,6 +972,122 @@ def test_moco_train_step_matches_torch(tmp_path, opt_name, predictor_on_keys):
             state["momentum"],
             _moco_tower_to_params(ref.momentum_encoder, TINY),
             rtol=1e-4, atol=5e-4)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
+def test_moco_long_horizon_queue_wrap_mcos_matches_torch(tmp_path):
+    """LONG-horizon MoCo v2-queue parity (VERDICT r3 #4b): 32 optimizer
+    steps vs the imported reference builder with K=32 so the queue pointer
+    WRAPS four times, and the --moco-m-cos momentum ramp active (per-iter
+    fractional-epoch cosine, pretrain :514, :626-629). Asserts the full
+    loss curve, final towers/queue, and that optim.moco_momentum equals
+    the reference's adjust_moco_momentum formula."""
+    import importlib
+
+    from mfvit_tpu.ssl import moco
+    from mfvit_tpu.train import optim
+
+    _init_single_process_dist(tmp_path)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        sys.path.insert(0, "/root/reference/moco_pretraining/moco")
+        mod = importlib.import_module(
+            "moco.builder_vit_mocov3structure_mocov2loss")
+
+        torch.manual_seed(41)
+        dim, mlp_dim, T, m0 = 16, 32, 0.2, 0.9
+        n_steps, bs, spe, epochs = 32, 4, 8, 4
+        K = 32  # ptr wraps at step 8; 4 full wraps over the run
+        args = types.SimpleNamespace(arch="vit_small")
+        ref = mod.MoCo_ViT(lambda num_classes: TorchViT(TINY, num_classes),
+                           args, dim=dim, mlp_dim=mlp_dim, T=T)
+        ref.K = K
+        ref.register_buffer("queue", torch.randn(dim, K))
+        ref.queue = nn.functional.normalize(ref.queue, dim=0)
+        ref.register_buffer("queue_ptr", torch.zeros(1, dtype=torch.long))
+        with torch.no_grad():
+            for p in ref.momentum_encoder.parameters():
+                p.add_(0.01 * torch.randn_like(p))
+
+        cfg = moco.MoCoConfig(dim=dim, mlp_dim=mlp_dim, K=K, T=T,
+                              stop_grad_conv1=False)
+        state = {
+            "base": _moco_tower_to_params(ref.base_encoder, TINY),
+            "momentum": _moco_tower_to_params(ref.momentum_encoder, TINY),
+            "predictor": _torch_mlp_to_params(ref.predictor),
+            "queue": jnp.asarray(np.copy(ref.queue.numpy())),
+            "queue_ptr": jnp.zeros((), jnp.int32),
+        }
+        state = jax.tree.map(
+            lambda a: jnp.asarray(np.copy(np.asarray(a))), state)
+
+        # Tolerance design (measured): with lr=0 (pure structural path —
+        # queue ring over 4 wraps, EMA m-cos ramp, BN stats) the two
+        # frameworks stay glued at rel<=4e-5 for all 32 steps. With ANY
+        # nonzero lr, isolated ReLU/softmax kink flips inject O(1)
+        # per-element gradient jumps whose effect is lr-INDEPENDENT and
+        # compounds ~10x/step once seeded — intrinsic fp32 physics, not
+        # semantics. lr=2e-5 keeps the first 12 steps at rel<=2e-5
+        # (asserted tightly) and the full horizon at rel<=6e-3.
+        train_params = [p for p in ref.parameters() if p.requires_grad]
+        opt_t = torch.optim.SGD(train_params, lr=2e-5, momentum=0.9)
+        tx = __import__("optax").sgd(2e-5, momentum=0.9)
+        step = moco.make_pretrain_step(cfg, TINY, tx,
+                                       compute_dtype=jnp.float32)
+        opt_state = tx.init({"base": state["base"],
+                             "predictor": state["predictor"]})
+        crit = nn.CrossEntropyLoss()
+
+        def ref_adjust_moco_momentum(epoch):
+            # pretrain main :626-629, verbatim formula
+            return 1.0 - 0.5 * (
+                1.0 + math.cos(math.pi * epoch / epochs)) * (1.0 - m0)
+
+        rng = np.random.default_rng(42)
+        ref.train()
+        ref_losses, our_losses = [], []
+        for it in range(n_steps):
+            efrac = (it // spe) + (it % spe) / spe  # pretrain :514
+            m = ref_adjust_moco_momentum(efrac)
+            np.testing.assert_allclose(
+                optim.moco_momentum(efrac, m0, epochs), m, rtol=1e-12)
+            im_q = rng.normal(size=(bs, 32, 32, 3)).astype(np.float32)
+            im_k = rng.normal(size=(bs, 32, 32, 3)).astype(np.float32)
+            logits_t, labels_t = ref(torch.tensor(im_q).permute(0, 3, 1, 2),
+                                     torch.tensor(im_k).permute(0, 3, 1, 2),
+                                     m)
+            loss_t = crit(logits_t, labels_t)
+            opt_t.zero_grad()
+            loss_t.backward()
+            opt_t.step()
+            ref_losses.append(float(loss_t))
+            state, opt_state, loss_j = step(
+                state, opt_state, jnp.asarray(im_q), jnp.asarray(im_k),
+                jnp.float32(m))
+            our_losses.append(float(loss_j))
+
+        # four full queue wraps: pointer back at 0 on both sides
+        assert int(state["queue_ptr"]) == 0
+        assert int(ref.queue_ptr) == 0
+        np.testing.assert_allclose(our_losses[:12], ref_losses[:12],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(our_losses, ref_losses,
+                                   rtol=2e-2, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(state["queue"]),
+                                   ref.queue.numpy(), rtol=1e-2, atol=1e-3)
+        # atol 5e-3: isolated kink-flipped elements reach ~5e-4 on weights
+        # and ~1.4e-3 on BN running means (64 accumulated batch-stat
+        # snapshots) over the horizon — measured, single-element; semantic
+        # errors show up at >=1e-1 across whole leaves
+        _assert_params_close(state["base"],
+                             _moco_tower_to_params(ref.base_encoder, TINY),
+                             rtol=1e-3, atol=5e-3)
+        _assert_params_close(
+            state["momentum"],
+            _moco_tower_to_params(ref.momentum_encoder, TINY),
+            rtol=1e-3, atol=5e-3)
     finally:
         torch.Tensor.cuda = orig_cuda
 
