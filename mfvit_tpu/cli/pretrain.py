@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="P(q is the Enh image) for --pairing enh_cxr "
                         "(the mix variant, loader.py:261-328)")
     p.add_argument("--save-epoch", type=int, default=30)
+    p.add_argument("--pretrained-arms", dest="pretrained_arms", default="",
+                   type=str,
+                   help="local torchvision resnet .pth to initialize BOTH "
+                        "MoCo towers (the reference fetches these by URL "
+                        "and loads them via the builder's `pretrained` — "
+                        "pretrain main :52-62, builder.py:37-44); resnet "
+                        "archs only")
     # multi-host launch (the reference's tcp:// DDP rendezvous flags
     # --dist-url/--world-size/--rank, pretrain main :99-110): start the
     # SAME command on every host with its own --dist-process-id; on
@@ -165,6 +172,15 @@ def train_one_draw_fn(args, vit_cfg):
 
         key = jax.random.fold_in(common.jax_key(args), draw)
         state = moco.init(key, cfg, vit_cfg, in_chans=args.in_chans)
+        if args.pretrained_arms:
+            if not args.arch.startswith("resnet"):
+                raise SystemExit(
+                    "--pretrained-arms is resnet-only (the reference's "
+                    "torchvision URL table covers resnets, pretrain "
+                    "main :52-62); ViT pretraining starts from scratch")
+            state = ckpt_mod.resnet_arms_from_torchvision(
+                state, args.pretrained_arms, vit_cfg)
+            print(f"=> MoCo arms initialized from {args.pretrained_arms}")
         opt_state = tx.init({"base": state["base"],
                              "predictor": state["predictor"]})
         if n_dev > 1:

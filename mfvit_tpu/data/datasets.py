@@ -229,6 +229,31 @@ class ChexpertDataset(_EpochMixin):
                 self.manifest.labels[idx])
 
 
+class ChexpertTwoCropsDataset(_EpochMixin):
+    """The reference ``Dataset``'s ACTUAL return contract: the transform
+    applied twice to the same decoded image -> (q, k, label)
+    (loader.py:83-85 returns ``[image1, image2], label`` even for eval;
+    the supervised mains then unpack and drop the second view —
+    finetune :698). ``ChexpertDataset`` is the single-view variant those
+    mains effectively consume; this one completes the L2 contract for
+    SSL-style consumers of the CheXpert CSV manifests."""
+
+    def __init__(self, folder: str, img_csv: str, transform: Transform,
+                 disease_name: str, decode: Optional[Transform] = None):
+        self.manifest = parse_chexpert(img_csv, folder, disease_name)
+        self.transform = transform
+        self.decode = decode or ht.decode_bgr
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, idx: int):
+        img = self.decode(self.manifest.paths[idx])
+        return (_apply_tf(self.transform, img, (self._epoch, idx, 0)),
+                _apply_tf(self.transform, img, (self._epoch, idx, 1)),
+                self.manifest.labels[idx])
+
+
 class ChexpertMixDataset(_EpochMixin):
     """CheXpert paired CXR/Enh with probabilistic flavor swap.
 

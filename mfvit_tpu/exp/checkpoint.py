@@ -220,6 +220,39 @@ def torch_resnet_to_params(sd: Dict[str, np.ndarray], cfg,
     return p
 
 
+def resnet_arms_from_torchvision(state: Params, path: str, cfg) -> Params:
+    """Initialize BOTH MoCo towers' resnet encoders from a torchvision
+    checkpoint (the reference pretrain downloads these by URL and passes
+    ``pretrained`` into the builder, which loads encoder_q and lets
+    encoder_k copy it — pretrain main :40, :52-62; builder.py:37-44).
+    Here the checkpoint is a local ``.pth``/``.pth.tar`` state dict.
+
+    4-channel variant: the reference's builder_4ch REPLACES ``conv1``
+    with a fresh 4-channel conv AFTER the pretrained load
+    (builder_4ch.py:36-41), so the pretrained stem conv is discarded —
+    replicated by keeping the freshly initialized stem conv when
+    ``cfg.in_chans != 3``."""
+    import dataclasses as _dc
+    sd = load_torch_state_dict(path)
+    conv_cfg = cfg if cfg.in_chans == 3 else _dc.replace(cfg, in_chans=3)
+    pre = torch_resnet_to_params(sd, conv_cfg, expect_fc=False)
+    pre.pop("fc", None)  # classifier head never transfers into MoCo arms
+    if cfg.in_chans != 3:
+        pre = dict(pre, stem=dict(pre["stem"],
+                                  conv=state["base"]["encoder"]["stem"]["conv"]))
+    out = dict(state)
+    for tower in ("base", "momentum"):
+        if set(pre) - set(state[tower]["encoder"]):
+            raise ValueError("torchvision checkpoint does not match the "
+                             f"{tower} encoder pytree")
+        # per-tower COPIES: aliased buffers across towers would make the
+        # donating jitted step pass the same buffer twice
+        graft = jax.tree.map(jnp.copy, pre)
+        out[tower] = dict(state[tower],
+                          encoder=dict(state[tower]["encoder"], **graft))
+    return out
+
+
 # ----------------------------------------------- torch fusion -> pytree
 
 def torch_fusion_to_params(sd: Dict[str, np.ndarray],

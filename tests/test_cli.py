@@ -107,6 +107,77 @@ def test_pretrain_cli_resnet18(covid_root):
     assert np.isfinite(results[0].extra["final_loss"])
 
 
+def test_pretrained_resnet_arms(covid_root, tmp_path):
+    """--pretrained-arms: both MoCo towers initialize from a local
+    torchvision-layout resnet18 checkpoint (the reference's URL-fetched
+    `pretrained` load, pretrain main :52-62, builder.py:37-44), and the
+    pretrain CLI accepts the flag end-to-end."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from mfvit_tpu.cli import pretrain
+    from mfvit_tpu.exp import checkpoint as ckpt_mod
+    from mfvit_tpu.nn import resnet as resnet_mod
+    from mfvit_tpu.ssl import moco
+
+    # synthetic torchvision-layout state dict (same key naming)
+    sys_path = str(tmp_path / "resnet18.pth")
+    import importlib
+    tp = importlib.import_module("test_torch_parity")
+    tm = tp._TorchResNet18()
+    with torch.no_grad():  # non-trivial BN running stats
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.add_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.mul_(1.3)
+    torch.save(tm.state_dict(), sys_path)
+
+    # unit: graft == converter output on both towers, projector untouched
+    cfg = resnet_mod.get_config("resnet18")
+    mcfg = moco.MoCoConfig.resnet(dim=16, mlp_dim=32, K=32, T=0.2)
+    state = moco.init(jax.random.PRNGKey(0), mcfg, cfg)
+    proj_before = jax.tree_util.tree_leaves(state["base"]["projector"])
+    out = ckpt_mod.resnet_arms_from_torchvision(state, sys_path, cfg)
+    want = ckpt_mod.torch_resnet_to_params(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, cfg,
+        expect_fc=False)
+    for tower in ("base", "momentum"):
+        got = {k: out[tower]["encoder"][k] for k in ("stem", "stages")}
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(
+                            {k: want[k] for k in ("stem", "stages")})):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(out["base"]["projector"]),
+                    proj_before):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ViT archs must reject the flag fast
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        pretrain.main(COMMON + [
+            "--covid-ds", str(covid_root / "create_covid_dataset"),
+            "--storage-root", str(tmp_path / "exp_rej"),
+            "--pretrained-arms", sys_path,
+            "-b", "8", "--epochs", "1", "--moco-dim", "16",
+            "--moco-mlp-dim", "32", "--moco-k", "32", "--semi-ratios", "1"])
+
+    # CLI end-to-end with the flag
+    results = pretrain.main([
+        "-a", "resnet18", "--img-size", "32", "--crop", "32",
+        "--maintain-ratio", "--compute-dtype", "float32",
+        "-j", "2", "--seed", "0",
+        "--covid-ds", str(covid_root / "create_covid_dataset"),
+        "--storage-root", str(tmp_path / "exp_arms"),
+        "--exp-name", "arms", "--pretrained-arms", sys_path,
+        "-b", "8", "--epochs", "1", "--warmup-epochs", "0", "--cos",
+        "--lr", "1e-3", "--optimizer", "sgd",
+        "--moco-dim", "16", "--moco-mlp-dim", "32", "--moco-k", "32",
+        "--semi-ratios", "1"])
+    assert np.isfinite(results[0].extra["final_loss"])
+
+
 def test_pretrain_cli_4ch(covid_root):
     """Stacked CXR-gray + Enh 4-channel input (builder_4ch.py:36-41)."""
     from mfvit_tpu.cli import pretrain

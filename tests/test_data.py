@@ -222,6 +222,26 @@ def test_covid_4ch_dataset(tmp_path):
     assert img.shape[-1] == 4  # cat(cxr,enh)[:,:,2:] — loader.py:182
 
 
+def test_chexpert_two_crops_dataset(tmp_path):
+    """The reference Dataset's [q, k] return contract (loader.py:83-85):
+    transform applied TWICE with independent draws per view."""
+    os.makedirs(tmp_path / "x")
+    _write_img(str(tmp_path / "x" / "img1.jpg"), 80, 90, seed=1)
+    csv = tmp_path / "chex.csv"
+    csv.write_text(f"idx,Path,Sex,Pneumonia\n0,x/img1.jpg,F,1.0\n")
+    tf = ht.ChexpertTransform(img_size=32, crop=24, img_type="data",
+                              training=True, rotate_deg=0.0, seed=0)
+    ds = datasets.ChexpertTwoCropsDataset(str(tmp_path), str(csv), tf,
+                                          "Pneumonia")
+    q, k, label = ds[0]
+    assert q.shape == k.shape == (24, 24, 3)
+    assert label == 1
+    assert not np.array_equal(q, k)  # independent crop windows
+    q2, k2, _ = ds[0]  # deterministic per (epoch, idx, view)
+    np.testing.assert_array_equal(q, q2)
+    np.testing.assert_array_equal(k, k2)
+
+
 def test_chexpert_mix_dataset(tmp_path):
     import os as _os
     for folder in ("cx", "en"):
@@ -257,8 +277,16 @@ def test_byol_and_mocov3_transforms():
 
     m = ht.MoCoV3Transform(img_type="data", training=True, seed=0)
     assert m(img).shape == (224, 224, 3)
+    # eval stack = Resize(256, shorter side) + CenterCrop(224) + normalize
+    # (get_transform_type_mocov3, image_transform.py:120-124) — assert
+    # against the composed primitives, not just the shape
     me = ht.MoCoV3Transform(img_type="data", training=False, seed=0)
-    assert me(img).shape == (224, 224, 3)
+    got = me(img)
+    assert got.shape == (224, 224, 3)
+    mean, std = ht.norm_stats("data")
+    want = ht.to_float_chw_free(
+        ht.center_crop(ht.resize_shorter(img, 256), 224, 224), mean, std)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_rrc_blur_solarize_primitives():
