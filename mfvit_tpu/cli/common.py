@@ -280,22 +280,28 @@ def _fill_decode_cache(args, maintain_ratio: bool):
     return None
 
 
-def device_crop_prelude(args, key, *canvs):
-    """On-device random crop shared by the store paths (the host crops
-    pre-store canvases only in streaming mode). No-op when the canvases
-    are already at network size; each canvas draws its own offset key.
-    Returns (key, cropped...)."""
-    import jax
-
+def device_train_view(args, key, canv, img_type):
+    """ONE reference-order training view — HFlip -> rotate about the full
+    canvas center -> RandomCrop -> normalize (image_transform.py:58-63) —
+    from a device-resident canvas. The store paths' augmentation: since
+    the full pre-crop canvas lives in HBM, matching the reference's
+    rotate-THEN-crop order costs nothing (the rotation and crop fuse into
+    one gather), closing PARITY.md divergence #7 for these paths."""
     from mfvit_tpu.data import device_aug
-    crop = args.crop or args.img_size
-    if crop >= args.img_size:
-        return (key,) + canvs
-    out = []
-    for c in canvs:
-        key, kc = jax.random.split(key)
-        out.append(device_aug.random_crop_batch(kc, c, crop))
-    return (key,) + tuple(out)
+    return device_aug.augment_train_canvas(
+        key, canv, crop=min(args.crop or args.img_size, args.img_size),
+        img_type=img_type, rotate_deg=float(args.rotate),
+        out_dtype=compute_dtype(args))
+
+
+def device_train_two_views(args, key, canv, img_type):
+    """Two independent reference-order views from one resident canvas
+    (TwoCropsTransform semantics for the SSL store paths)."""
+    from mfvit_tpu.data import device_aug
+    return device_aug.augment_two_views_canvas(
+        key, canv, crop=min(args.crop or args.img_size, args.img_size),
+        img_type=img_type, rotate_deg=float(args.rotate),
+        out_dtype=compute_dtype(args))
 
 
 def maybe_device_store(args, manifest_path: str, folder: str, *,

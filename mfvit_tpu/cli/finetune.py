@@ -161,10 +161,7 @@ def train_one_draw_fn(args, cfg):
                                  idx, key):
                 canv = jnp.take(table, idx, axis=0)
                 labels = jnp.take(lab_table, idx, axis=0)
-                key, canv = common.device_crop_prelude(args, key, canv)
-                x = device_aug.augment_batch(
-                    key, canv, img_type=args.folder, training=True,
-                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
+                x = common.device_train_view(args, key, canv, args.folder)
                 return train_step(params, opt_state, x, labels)
 
             store_train_step = jax.jit(store_train_step,
@@ -213,10 +210,11 @@ def train_one_draw_fn(args, cfg):
                 else:
                     canv, labels = batch
                     if store is not None:
-                        # sharded store: on-device crop prelude
-                        k_b, canv = common.device_crop_prelude(args, k_b,
-                                                               canv)
-                    if args.aug_device:
+                        # sharded store: reference-order view from the
+                        # resident full canvas
+                        x = common.device_train_view(args, k_b, canv,
+                                                     args.folder)
+                    elif args.aug_device:
                         x = device_aug.augment_batch(
                             k_b, canv, img_type=args.folder,
                             training=True, rotate_deg=float(args.rotate),

@@ -189,14 +189,8 @@ def train_one_draw_fn(args, cfg):
                 enh = jnp.take(t_enh, idx, axis=0)
                 labels = jnp.take(lab_table, idx, axis=0)
                 ka, kb = jax.random.split(key)
-                ka, cxr = common.device_crop_prelude(args, ka, cxr)
-                kb, enh = common.device_crop_prelude(args, kb, enh)
-                xc = device_aug.augment_batch(
-                    ka, cxr, img_type="data", training=True,
-                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
-                xe = device_aug.augment_batch(
-                    kb, enh, img_type="Train_Mix", training=True,
-                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
+                xc = common.device_train_view(args, ka, cxr, "data")
+                xe = common.device_train_view(args, kb, enh, "Train_Mix")
                 return train_step(params, opt_state, xc, xe, labels)
 
             store_train_step = jax.jit(store_train_step,
@@ -242,10 +236,12 @@ def train_one_draw_fn(args, cfg):
                     ka, kb = jax.random.split(ka)
                     cxr, enh, labels = batch
                     if store is not None:
-                        # sharded store: on-device crop prelude
-                        ka, cxr = common.device_crop_prelude(args, ka, cxr)
-                        kb, enh = common.device_crop_prelude(args, kb, enh)
-                    if args.aug_device:
+                        # sharded store: reference-order views from the
+                        # resident full canvases
+                        xc = common.device_train_view(args, ka, cxr, "data")
+                        xe = common.device_train_view(args, kb, enh,
+                                                      "Train_Mix")
+                    elif args.aug_device:
                         xc = device_aug.augment_batch(
                             ka, cxr, img_type="data", training=True,
                             rotate_deg=float(args.rotate), out_dtype=dt)

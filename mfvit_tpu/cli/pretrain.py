@@ -200,13 +200,11 @@ def train_one_draw_fn(args, vit_cfg):
 
             def store_step(state, opt_state, table, idx, key, m):
                 canv = jnp.take(table, idx, axis=0)
-                # each MoCo view draws its OWN crop window (TwoCrops
-                # semantics, loader.py:13-22)
-                key, cq, ck = common.device_crop_prelude(args, key,
-                                                         canv, canv)
-                q, k_img = device_aug.augment_two_views(
-                    key, cq, ck, img_type=s_img_type,
-                    rotate_deg=float(args.rotate), out_dtype=s_dtype)
+                # each MoCo view draws its OWN flip/rotation/crop, in the
+                # reference order (TwoCrops over the full stack,
+                # loader.py:13-22 + image_transform.py:58-63)
+                q, k_img = common.device_train_two_views(
+                    args, key, canv, s_img_type)
                 return base_step(state, opt_state, q, k_img, m)
 
             step = jax.jit(store_step, donate_argnums=(0, 1))
@@ -279,20 +277,21 @@ def train_one_draw_fn(args, vit_cfg):
                             for b in batch)
                     else:
                         if store is not None:
-                            # sharded store: ONE pre-crop canvas per
-                            # sample; draw each view's crop on-device
+                            # sharded store: ONE resident pre-crop canvas
+                            # per sample; each view draws its own
+                            # reference-order flip/rotation/crop
                             canv, _labels = batch
-                            k_b, canv_q, canv_k = (
-                                common.device_crop_prelude(args, k_b,
-                                                           canv, canv))
+                            q, k_img = common.device_train_two_views(
+                                args, k_b, canv,
+                                "4ch" if fourch else args.folder)
                         else:
                             # streaming: two host-cropped canvases
                             canv_q, canv_k, _labels = batch
-                        q, k_img = device_aug.augment_two_views(
-                            k_b, canv_q, canv_k,
-                            img_type="4ch" if fourch else args.folder,
-                            rotate_deg=float(args.rotate),
-                            out_dtype=common.compute_dtype(args))
+                            q, k_img = device_aug.augment_two_views(
+                                k_b, canv_q, canv_k,
+                                img_type="4ch" if fourch else args.folder,
+                                rotate_deg=float(args.rotate),
+                                out_dtype=common.compute_dtype(args))
                     state, opt_state, loss = step(state, opt_state, q,
                                                   k_img, jnp.float32(m))
                     n_b = int(q.shape[0])

@@ -70,6 +70,98 @@ def random_crop_batch(key, canvases: jnp.ndarray, crop: int) -> jnp.ndarray:
     return jax.vmap(one)(canvases, tops, lefts)
 
 
+def _rotate_crop_nearest(imgs: jnp.ndarray, angles_rad: jnp.ndarray,
+                         tops: jnp.ndarray, lefts: jnp.ndarray,
+                         crop: int) -> jnp.ndarray:
+    """Fused 'rotate the FULL canvas about its center (zero fill), then
+    crop a (crop, crop) window at (top, left)' — evaluated by sampling
+    only the window's source coordinates, so it costs the same gather as
+    crop-then-rotate while reproducing the reference's rotate-then-crop
+    semantics exactly (image_transform.py:58-63; PARITY.md divergence #7)."""
+    B, H, W, C = imgs.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy = (jnp.arange(crop, dtype=jnp.float32)[None, :, None]
+          + tops.astype(jnp.float32)[:, None, None] - cy)     # (B,crop,1)
+    xx = (jnp.arange(crop, dtype=jnp.float32)[None, None, :]
+          + lefts.astype(jnp.float32)[:, None, None] - cx)    # (B,1,crop)
+    cos = jnp.cos(angles_rad)[:, None, None]
+    sin = jnp.sin(angles_rad)[:, None, None]
+    src_x = cos * xx - sin * yy + cx                          # (B,crop,crop)
+    src_y = sin * xx + cos * yy + cy
+    ix = jnp.round(src_x).astype(jnp.int32)
+    iy = jnp.round(src_y).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    lin = (jnp.clip(iy, 0, H - 1) * W
+           + jnp.clip(ix, 0, W - 1)).reshape(B, crop * crop)
+    flat = imgs.reshape(B, H * W, C)
+    out = jnp.take_along_axis(flat, lin[:, :, None],
+                              axis=1).reshape(B, crop, crop, C)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crop", "img_type", "rotate_deg", "hflip", "out_dtype"),
+)
+def augment_train_canvas(key, canvases: jnp.ndarray, *, crop: int,
+                         img_type: str = "data", rotate_deg: float = 10.0,
+                         hflip: bool = True,
+                         out_dtype=jnp.float32) -> jnp.ndarray:
+    """REFERENCE-ORDER training augmentation for device-resident full
+    canvases: HFlip -> RandomRotation about the FULL canvas center ->
+    RandomCrop -> normalize (image_transform.py:58-63). Used by the
+    device-store paths, where the pre-crop canvas lives in HBM — closing
+    PARITY.md divergence #7 for them (the streaming feed still crops on
+    the host for transfer economy). The rotation+crop pair fuses into a
+    single gather (_rotate_crop_nearest): matching the reference order
+    costs nothing."""
+    B, H, W, C = canvases.shape
+    if crop > H or crop > W:
+        raise ValueError(f"augment_train_canvas: crop {crop} > canvas "
+                         f"({H}, {W})")
+    mean, std = norm_stats(img_type)
+    x = canvases.astype(jnp.float32) / 255.0
+    kf, kr, ky, kx = jax.random.split(key, 4)
+    if hflip:
+        flip = jax.random.bernoulli(kf, 0.5, (B,))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    tops = jax.random.randint(ky, (B,), 0, H - crop + 1)
+    lefts = jax.random.randint(kx, (B,), 0, W - crop + 1)
+    if rotate_deg:
+        deg = jax.random.uniform(kr, (B,), minval=-rotate_deg,
+                                 maxval=rotate_deg)
+        x = _rotate_crop_nearest(x, jnp.deg2rad(deg), tops, lefts, crop)
+    else:
+
+        def one(img, t, left):
+            return jax.lax.dynamic_slice(img, (t, left, 0), (crop, crop, C))
+
+        x = jax.vmap(one)(x, tops, lefts)
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crop", "img_type", "rotate_deg", "hflip", "out_dtype"),
+)
+def augment_two_views_canvas(key, canvases: jnp.ndarray, *, crop: int,
+                             img_type: str = "data",
+                             rotate_deg: float = 10.0, hflip: bool = True,
+                             out_dtype=jnp.float32):
+    """Two independent reference-order views from ONE device-resident
+    canvas (TwoCropsTransform over the full stack, loader.py:13-22):
+    each view draws its own flip, rotation AND crop window."""
+    kq, kk = jax.random.split(key)
+    q = augment_train_canvas(kq, canvases, crop=crop, img_type=img_type,
+                             rotate_deg=rotate_deg, hflip=hflip,
+                             out_dtype=out_dtype)
+    k = augment_train_canvas(kk, canvases, crop=crop, img_type=img_type,
+                             rotate_deg=rotate_deg, hflip=hflip,
+                             out_dtype=out_dtype)
+    return q, k
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("img_type", "training", "rotate_deg", "hflip", "out_dtype"),

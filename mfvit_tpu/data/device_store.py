@@ -10,8 +10,8 @@ to stop re-shipping the dataset every epoch: vision-scale uint8 canvases
 are small (224x224x3 = 147 KB/image, ~7k images per GB of HBM), so the
 deterministic decode+resize output of EVERY image is device_put exactly
 once, and each epoch draws shuffled batches by on-device gather followed
-by the on-device random crop (device_aug.random_crop_batch) and the
-fused flip/rotate/normalize augmentation. Only a per-step index vector
+by the fused reference-order flip/rotate/crop/normalize augmentation
+(device_aug.augment_train_canvas). Only a per-step index vector
 (4 bytes/sample) crosses the host->device boundary.
 
 Randomness semantics match the host path: shuffle order is

@@ -625,6 +625,44 @@ def test_decode_cache_shared_across_loaders(tmp_path, monkeypatch):
     assert len(calls) == n_after_first
 
 
+def test_rotate_then_crop_matches_full_rotation_then_slice():
+    """The fused _rotate_crop_nearest gather == rotate the FULL canvas
+    (the PIL-parity _rotate_nearest) then slice the crop window — i.e.
+    the store paths now run the reference's rotate-THEN-crop order
+    (image_transform.py:58-63) at crop-only gather cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfvit_tpu.data import device_aug
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(3, 20, 24, 3)).astype(np.float32))
+    angles = jnp.asarray([0.12, -0.15, 0.0])
+    tops = jnp.asarray([0, 3, 5])
+    lefts = jnp.asarray([2, 0, 7])
+    full = device_aug._rotate_nearest(imgs, angles)
+    want = np.stack([
+        np.asarray(full[i, int(tops[i]):int(tops[i]) + 12,
+                        int(lefts[i]):int(lefts[i]) + 12])
+        for i in range(3)])
+    got = device_aug._rotate_crop_nearest(imgs, angles, tops, lefts, 12)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # augment_train_canvas API: shape, dtype, and the rotate_deg=0 path
+    # reducing to plain crop + normalize
+    out = device_aug.augment_train_canvas(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.integers(0, 255, (4, 32, 32, 3), np.uint8)),
+        crop=24, img_type="data", rotate_deg=10.0)
+    assert out.shape == (4, 24, 24, 3) and out.dtype == jnp.float32
+    out0 = device_aug.augment_train_canvas(
+        jax.random.PRNGKey(1),
+        jnp.asarray(rng.integers(0, 255, (4, 32, 32, 3), np.uint8)),
+        crop=24, img_type="data", rotate_deg=0.0, hflip=False)
+    assert out0.shape == (4, 24, 24, 3)
+    assert np.isfinite(np.asarray(out0)).all()
+
+
 def test_random_crop_batch_matches_host_semantics():
     """Device random crop: every output is a contiguous (crop, crop)
     window of its source, offsets cover the full inclusive range."""

@@ -33,9 +33,12 @@ def test_init_distributed_plumbs_coordinator(monkeypatch):
 def test_dryrun_multichip_bootstraps_subprocess(monkeypatch, capfd):
     """When the ambient runtime can't host the mesh, dryrun_multichip must
     re-exec itself with a virtual CPU mesh (the driver runs it under the
-    single-chip axon env with no flags — MULTICHIP_r01 failure mode)."""
+    single-chip axon env with no flags — MULTICHIP_r01 failure mode).
+    Tiny smoke only — the production-shape certification is exercised by
+    the driver's own MULTICHIP run (and takes minutes on CPU)."""
     import __graft_entry__ as g
     monkeypatch.setattr(g, "_env_supports", lambda n: False)
+    monkeypatch.setenv("MFVIT_DRYRUN_TINY", "1")
     g.dryrun_multichip(4)
     out = capfd.readouterr().out
     assert "dryrun_multichip(4)" in out and "OK" in out

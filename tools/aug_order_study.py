@@ -73,9 +73,10 @@ mf.write_covid_manifest(f"{root}/cds/test_ds.txt",
 from mfvit_tpu.cli import finetune  # noqa: E402
 
 results = {}
+SEEDS = range(int(os.environ.get("AUG_STUDY_SEEDS", "3")))
 for mode in ("aug-device", "aug-host"):
     per_seed = []
-    for seed in (0, 1, 2):
+    for seed in SEEDS:
         out = f"{root}/exp_{mode}_{seed}"
         res = finetune.main([
             "-a", "vit_test", "--img-size", "64", "--crop", "48",
