@@ -36,6 +36,7 @@ def test_resnet50_bottleneck(rng):
     assert feats.shape == (1, 2048)
 
 
+@pytest.mark.slow
 def test_crossvit_cnn_fusion(rng):
     k1, k2, k3 = jax.random.split(rng, 3)
     fp = crossvit_cnn.init(k1, small_dim=32, large_dim=64, heads=2,

@@ -10,6 +10,10 @@ import cv2
 
 from mfvit_tpu.data import manifest as mf
 
+# whole-module: CLI end-to-end runs (pretrain/finetune/fuse mains on a
+# synthetic dataset) are the suite's integration tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def covid_root(tmp_path_factory):

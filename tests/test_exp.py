@@ -97,6 +97,7 @@ def test_evaluator_class():
     assert np.isfinite(res["auc"]) and np.isfinite(res["f1"])
 
 
+@pytest.mark.slow
 def test_pretrain_resume(tmp_path):
     """Resume restores state/opt/epoch (pretrain --resume parity)."""
     import cv2 as _cv2
@@ -164,3 +165,18 @@ def test_storage_folder_collision_suffixes(tmp_path, monkeypatch):
     a = storage.get_storage_folder("exp", "ft", root=str(tmp_path))
     b = storage.get_storage_folder("exp", "ft", root=str(tmp_path))
     assert a != b and a.exists() and b.exists()
+
+
+def test_broadcast_path_multiprocess_roundtrip_and_overflow(monkeypatch):
+    """_broadcast_path under a simulated 2-process run: the primary's
+    path round-trips through the fixed buffer, and an overflowing path
+    raises on EVERY rank (the overflow flag is itself broadcast, so no
+    rank is left blocked inside the collective)."""
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all",
+                        lambda x: x)  # primary's value = ours
+    assert storage._broadcast_path("exp/covid_moco_x") == "exp/covid_moco_x"
+    with pytest.raises(ValueError, match="too long"):
+        storage._broadcast_path("p" * 2000)

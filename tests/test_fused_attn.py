@@ -113,6 +113,7 @@ def test_bigdim_backward_matches_xla_reference():
         assert cos > 0.999
 
 
+@pytest.mark.slow
 def test_supported_gates_large_dims():
     """VMEM feasibility check: ViT-S/base at 224 fit; img-size 384
     (N=577) does not — vit.apply falls back to XLA math instead of a

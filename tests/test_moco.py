@@ -123,6 +123,7 @@ def test_v3_symmetric_training_learns(state):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_stop_grad_conv1(state):
     """--stop-grad-conv1: no gradient reaches the patch projection."""
     imgs = jax.random.normal(jax.random.PRNGKey(6), (4, 32, 32, 3))

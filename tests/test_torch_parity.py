@@ -13,6 +13,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# whole-module: every test here round-trips through real torch models
+# (some over 30-60 optimizer steps) — parity tier, not the quick loop
+pytestmark = pytest.mark.slow
+
 import torch
 import torch.nn as nn
 
