@@ -40,6 +40,29 @@ canv = jnp.asarray(
     np.random.default_rng(0).integers(0, 255, (16, 224, 224, 3), np.uint8))
 batch = device_aug.augment_batch(jax.random.PRNGKey(1), canv, img_type="data",
                                  training=True)
+
+# --- fused rotate-then-crop (device-store train path, round 4): on-TPU
+# bit-equality with the unfused full-frame rotation + slice composition
+# (mirrors tests/test_data.py::test_rotate_then_crop_matches_full_rotation
+# _then_slice, which only runs on CPU)
+ka, kt, kl = jax.random.split(jax.random.PRNGKey(7), 3)
+x01 = canv.astype(jnp.float32) / 255.0
+angles = jax.random.uniform(ka, (16,), minval=-0.2, maxval=0.2)
+tops = jax.random.randint(kt, (16,), 0, 224 - 192 + 1)
+lefts = jax.random.randint(kl, (16,), 0, 224 - 192 + 1)
+fused_rc = jax.jit(device_aug._rotate_crop_nearest,
+                   static_argnums=(4,))(x01, angles, tops, lefts, 192)
+unfused = jax.jit(jax.vmap(
+    lambda img, a, t, l: jax.lax.dynamic_slice(
+        device_aug._rotate_nearest(img[None], a[None])[0],
+        (t, l, 0), (192, 192, 3))))(x01, angles, tops, lefts)
+rc_diff = int(jnp.sum(fused_rc != unfused))
+print(f"fused rotate-then-crop vs unfused: {rc_diff} mismatched elements")
+assert rc_diff == 0
+store_batch = device_aug.augment_train_canvas(
+    jax.random.PRNGKey(8), canv, crop=192, img_type="data")
+assert store_batch.shape == (16, 192, 192, 3)
+assert bool(jnp.all(jnp.isfinite(store_batch)))
 labels = jnp.asarray(np.random.default_rng(1).integers(0, 3, 16))
 
 tx = optim.build_optimizer(
