@@ -149,8 +149,7 @@ def make_ssl_two_crops_loader(args, manifest_path: str, folder: str, *,
                           variant=variant, seed=seed)
     ds = datasets.CovidTwoCropsDataset(folder, manifest_path, tf)
     return pipeline.BatchLoader(ds, args.batch_size, shuffle=True, seed=seed,
-                                drop_last=True, num_workers=args.workers,
-                                **process_feed_kwargs())
+                                drop_last=True, num_workers=args.workers)
 
 
 def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
@@ -176,8 +175,7 @@ def make_enh_cxr_ssl_loader(args, manifest_path: str, *,
         per_enh=getattr(args, "per_enh", 1.0), seed=seed, decode=decode)
     return pipeline.BatchLoader(ds, args.batch_size, shuffle=True,
                                 seed=seed, drop_last=True,
-                                num_workers=args.workers,
-                                **process_feed_kwargs())
+                                num_workers=args.workers)
 
 
 class StoreBudget:
@@ -475,8 +473,7 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
     return pipeline.BatchLoader(ds, bs, shuffle=training, seed=seed,
                                 drop_last=training,
                                 pad_final=not training,
-                                num_workers=args.workers,
-                                **process_feed_kwargs())
+                                num_workers=args.workers)
 
 
 def setup_mesh(args, *, multihost_ok: bool = False):
@@ -522,17 +519,6 @@ def setup_mesh(args, *, multihost_ok: bool = False):
     if n > 1:
         pmesh.assert_divisible(args.batch_size, mesh)
     return mesh, n
-
-
-def process_feed_kwargs() -> dict:
-    """BatchLoader kwargs for per-process input sharding: on a
-    multi-process run each host decodes only the contiguous sub-batch
-    its devices own (DistributedSampler equivalent, pretrain main :309,
-    :436); single-process runs get the plain global feed."""
-    if jax.process_count() > 1:
-        return dict(process_index=jax.process_index(),
-                    process_count=jax.process_count())
-    return {}
 
 
 def primary_process_prints_only() -> None:

@@ -155,8 +155,6 @@ def train_one_draw_fn(args, cfg):
         if single_dev_store:
             # single-dispatch store path: gather + crop + aug + train
             # step in ONE jitted program per iteration
-            s_dtype = common.compute_dtype(args)
-
             def store_train_step(params, opt_state, table, lab_table,
                                  idx, key):
                 canv = jnp.take(table, idx, axis=0)

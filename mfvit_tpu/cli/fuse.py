@@ -181,8 +181,6 @@ def train_one_draw_fn(args, cfg):
         if single_dev_store:
             # single-dispatch store path: gather both flavors + crop +
             # aug + fusion step in ONE jitted program per iteration
-            s_dtype = common.compute_dtype(args)
-
             def store_train_step(params, opt_state, t_cxr, t_enh,
                                  lab_table, idx, key):
                 cxr = jnp.take(t_cxr, idx, axis=0)

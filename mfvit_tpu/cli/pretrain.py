@@ -173,11 +173,7 @@ def train_one_draw_fn(args, vit_cfg):
         key = jax.random.fold_in(common.jax_key(args), draw)
         state = moco.init(key, cfg, vit_cfg, in_chans=args.in_chans)
         if args.pretrained_arms:
-            if not args.arch.startswith("resnet"):
-                raise SystemExit(
-                    "--pretrained-arms is resnet-only (the reference's "
-                    "torchvision URL table covers resnets, pretrain "
-                    "main :52-62); ViT pretraining starts from scratch")
+            # arch compatibility already validated in main() (fail fast)
             state = ckpt_mod.resnet_arms_from_torchvision(
                 state, args.pretrained_arms, vit_cfg)
             print(f"=> MoCo arms initialized from {args.pretrained_arms}")
@@ -196,7 +192,6 @@ def train_one_draw_fn(args, vit_cfg):
             base_step = moco.make_pretrain_step(
                 cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args))
             s_img_type = "4ch" if fourch else args.folder
-            s_dtype = common.compute_dtype(args)
 
             def store_step(state, opt_state, table, idx, key, m):
                 canv = jnp.take(table, idx, axis=0)
@@ -316,7 +311,12 @@ def train_one_draw_fn(args, vit_cfg):
             if args.arch.startswith("resnet"):
                 print("--export-torch: resnet towers have no vits.py "
                       "layout; skipping torch export")
-            else:
+            elif storage.is_primary():
+                # single-writer like the orbax saves' coordination and
+                # the reference's rank-0 checkpointing (pretrain main
+                # :469-471): a plain torch.save from every process would
+                # race on the shared path (device_get is collective-free
+                # — the state is fully replicated)
                 ckpt_mod.save_moco_torch_checkpoint(
                     str(sub_folder / "checkpoint_torch.pth.tar"),
                     jax.device_get(state), vit_cfg,
@@ -351,6 +351,13 @@ def main(argv=None):
             "plain 3-channel vits.py layout (no conv-stem, biased qkv) "
             "the reference finetune surgery loads. Drop --export-torch "
             "or use a vit_small/vit_base/_ori arch with --in-chans 3.")
+    if args.pretrained_arms and not args.arch.startswith("resnet"):
+        # same fail-fast policy: argv-only check, so don't create the
+        # experiment folder / loader / mesh before rejecting it
+        raise SystemExit(
+            "--pretrained-arms is resnet-only (the reference's "
+            "torchvision URL table covers resnets, pretrain main "
+            ":52-62); ViT pretraining starts from scratch")
     folder = storage.get_storage_folder(args.exp_name, "moco",
                                         root=args.storage_root)
     harness.snapshot_args(folder, args)

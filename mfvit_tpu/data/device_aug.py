@@ -22,32 +22,45 @@ import jax.numpy as jnp
 from mfvit_tpu.data.constants import norm_stats
 
 
-def _rotate_nearest(imgs: jnp.ndarray, angles_rad: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample rotation about the image center, nearest sampling, zero fill.
+def _rotated_window_gather(imgs: jnp.ndarray, angles_rad: jnp.ndarray,
+                           tops: jnp.ndarray, lefts: jnp.ndarray,
+                           out_h: int, out_w: int) -> jnp.ndarray:
+    """THE shared rotation core: sample the (out_h, out_w) window at
+    (top, left) from each image rotated about its FULL-canvas center
+    (nearest sampling, zero fill). ``_rotate_nearest`` is the full-frame
+    special case, ``_rotate_crop_nearest`` the fused rotate-then-crop —
+    both must stay bit-identical to PIL ``Image.rotate`` (positive angle =
+    counter-clockwise), so the inverse-rotation coordinate math lives only
+    here (verified against PIL in tests/test_data.py).
 
-    imgs: (B, H, W, C) float32; angles_rad: (B,). Positive angle =
-    counter-clockwise (PIL ``Image.rotate`` convention)."""
+    imgs: (B, H, W, C) float32; angles_rad/tops/lefts: (B,)."""
     B, H, W, C = imgs.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None] - cy      # (H,1)
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :] - cx      # (1,W)
+    yy = (jnp.arange(out_h, dtype=jnp.float32)[None, :, None]
+          + tops.astype(jnp.float32)[:, None, None] - cy)    # (B,out_h,1)
+    xx = (jnp.arange(out_w, dtype=jnp.float32)[None, None, :]
+          + lefts.astype(jnp.float32)[:, None, None] - cx)   # (B,1,out_w)
     cos = jnp.cos(angles_rad)[:, None, None]                  # (B,1,1)
     sin = jnp.sin(angles_rad)[:, None, None]
-    # Inverse rotation of output coords -> source coords. Signs chosen so a
-    # positive angle matches PIL ``Image.rotate`` (counter-clockwise) BIT
-    # EXACTLY with nearest sampling about the (H-1)/2 center (verified in
-    # tests/test_data.py against PIL).
-    src_x = cos * xx - sin * yy + cx                          # (B,H,W)
+    src_x = cos * xx - sin * yy + cx                          # (B,out_h,out_w)
     src_y = sin * xx + cos * yy + cy
     ix = jnp.round(src_x).astype(jnp.int32)
     iy = jnp.round(src_y).astype(jnp.int32)
     valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    ixc = jnp.clip(ix, 0, W - 1)
-    iyc = jnp.clip(iy, 0, H - 1)
+    lin = (jnp.clip(iy, 0, H - 1) * W
+           + jnp.clip(ix, 0, W - 1)).reshape(B, out_h * out_w)
     flat = imgs.reshape(B, H * W, C)
-    lin = (iyc * W + ixc).reshape(B, H * W)
-    out = jnp.take_along_axis(flat, lin[:, :, None], axis=1).reshape(B, H, W, C)
+    out = jnp.take_along_axis(flat, lin[:, :, None],
+                              axis=1).reshape(B, out_h, out_w, C)
     return jnp.where(valid[..., None], out, 0.0)
+
+
+def _rotate_nearest(imgs: jnp.ndarray, angles_rad: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample full-frame rotation about the image center (PIL
+    ``Image.rotate`` convention): the zero-offset window gather."""
+    B, H, W, _ = imgs.shape
+    zeros = jnp.zeros((B,), jnp.float32)
+    return _rotated_window_gather(imgs, angles_rad, zeros, zeros, H, W)
 
 
 @functools.partial(jax.jit, static_argnames=("crop",))
@@ -78,25 +91,23 @@ def _rotate_crop_nearest(imgs: jnp.ndarray, angles_rad: jnp.ndarray,
     only the window's source coordinates, so it costs the same gather as
     crop-then-rotate while reproducing the reference's rotate-then-crop
     semantics exactly (image_transform.py:58-63; PARITY.md divergence #7)."""
-    B, H, W, C = imgs.shape
-    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    yy = (jnp.arange(crop, dtype=jnp.float32)[None, :, None]
-          + tops.astype(jnp.float32)[:, None, None] - cy)     # (B,crop,1)
-    xx = (jnp.arange(crop, dtype=jnp.float32)[None, None, :]
-          + lefts.astype(jnp.float32)[:, None, None] - cx)    # (B,1,crop)
-    cos = jnp.cos(angles_rad)[:, None, None]
-    sin = jnp.sin(angles_rad)[:, None, None]
-    src_x = cos * xx - sin * yy + cx                          # (B,crop,crop)
-    src_y = sin * xx + cos * yy + cy
-    ix = jnp.round(src_x).astype(jnp.int32)
-    iy = jnp.round(src_y).astype(jnp.int32)
-    valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    lin = (jnp.clip(iy, 0, H - 1) * W
-           + jnp.clip(ix, 0, W - 1)).reshape(B, crop * crop)
-    flat = imgs.reshape(B, H * W, C)
-    out = jnp.take_along_axis(flat, lin[:, :, None],
-                              axis=1).reshape(B, crop, crop, C)
-    return jnp.where(valid[..., None], out, 0.0)
+    return _rotated_window_gather(imgs, angles_rad, tops, lefts, crop, crop)
+
+
+def _to_unit_flipped(key, canvases: jnp.ndarray, hflip: bool) -> jnp.ndarray:
+    """uint8 -> [0,1] float32 with per-sample random horizontal flip."""
+    x = canvases.astype(jnp.float32) / 255.0
+    if hflip:
+        flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    return x
+
+
+def _normalize(x: jnp.ndarray, img_type: str, out_dtype) -> jnp.ndarray:
+    """Per-flavor mean/std normalization (image_transform.py constants)."""
+    mean, std = norm_stats(img_type)
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.astype(out_dtype)
 
 
 @functools.partial(
@@ -119,12 +130,8 @@ def augment_train_canvas(key, canvases: jnp.ndarray, *, crop: int,
     if crop > H or crop > W:
         raise ValueError(f"augment_train_canvas: crop {crop} > canvas "
                          f"({H}, {W})")
-    mean, std = norm_stats(img_type)
-    x = canvases.astype(jnp.float32) / 255.0
     kf, kr, ky, kx = jax.random.split(key, 4)
-    if hflip:
-        flip = jax.random.bernoulli(kf, 0.5, (B,))
-        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    x = _to_unit_flipped(kf, canvases, hflip)
     tops = jax.random.randint(ky, (B,), 0, H - crop + 1)
     lefts = jax.random.randint(kx, (B,), 0, W - crop + 1)
     if rotate_deg:
@@ -137,8 +144,7 @@ def augment_train_canvas(key, canvases: jnp.ndarray, *, crop: int,
             return jax.lax.dynamic_slice(img, (t, left, 0), (crop, crop, C))
 
         x = jax.vmap(one)(x, tops, lefts)
-    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
-    return x.astype(out_dtype)
+    return _normalize(x, img_type, out_dtype)
 
 
 @functools.partial(
@@ -174,19 +180,16 @@ def augment_batch(key, canvases: jnp.ndarray, *, img_type: str = "data",
     Train: random hflip (p=.5) + random rotation U(-rotate_deg, rotate_deg)
     + normalize. Eval: normalize only.
     """
-    mean, std = norm_stats(img_type)
-    x = canvases.astype(jnp.float32) / 255.0
     if training:
         kf, kr = jax.random.split(key)
-        if hflip:
-            flip = jax.random.bernoulli(kf, 0.5, (x.shape[0],))
-            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        x = _to_unit_flipped(kf, canvases, hflip)
         if rotate_deg:
             deg = jax.random.uniform(kr, (x.shape[0],), minval=-rotate_deg,
                                      maxval=rotate_deg)
             x = _rotate_nearest(x, jnp.deg2rad(deg))
-    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
-    return x.astype(out_dtype)
+    else:
+        x = canvases.astype(jnp.float32) / 255.0
+    return _normalize(x, img_type, out_dtype)
 
 
 @functools.partial(

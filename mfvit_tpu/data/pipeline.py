@@ -40,7 +40,8 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, num_workers: int = 8,
                  prefetch: int = 3, pad_final: bool = False,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         assert not (drop_last and pad_final)
         self.ds = dataset
         self.bs = batch_size
@@ -60,6 +61,14 @@ class BatchLoader:
         # 'data'-axis-sharded global batch are exactly process p's
         # addressable shards (assembled by device_prefetch via
         # jax.make_array_from_process_local_data).
+        # Defaulting from the jax runtime (rather than per call site)
+        # means a loader built on a multi-host run can never silently
+        # feed every process the full duplicated global batch; pass
+        # explicit values only to override (tests, ablation).
+        if process_count is None:
+            process_count = jax.process_count()
+        if process_index is None:
+            process_index = jax.process_index() if process_count > 1 else 0
         self.process_index = process_index
         self.process_count = process_count
         if process_count > 1:

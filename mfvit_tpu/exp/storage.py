@@ -30,8 +30,16 @@ def _broadcast_path(path_str: str) -> str:
     from jax.experimental import multihost_utils
     buf = np.zeros(1024, np.uint8)
     b = path_str.encode()
-    if len(b) > buf.size:
-        raise ValueError(f"storage path too long to broadcast: {path_str}")
+    # validate COLLECTIVELY: a primary-only raise before the broadcast
+    # would leave every other process blocked inside the collective, so
+    # the primary's overflow flag is broadcast first and all ranks fail
+    # together
+    overflow = np.asarray(multihost_utils.broadcast_one_to_all(
+        np.asarray(len(b) > buf.size)))
+    if overflow:
+        raise ValueError(
+            f"storage path too long to broadcast (> {buf.size} bytes); "
+            f"primary's path: {path_str!r}")
     buf[: len(b)] = np.frombuffer(b, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     return bytes(out).rstrip(b"\x00").decode()

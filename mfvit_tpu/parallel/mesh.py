@@ -42,12 +42,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
     pretrain main :235-236): on Cloud TPU pods ``jax.distributed.initialize``
     auto-discovers the coordinator; explicit args cover DCN setups. After
     this, ``jax.devices()`` spans all hosts and the same mesh code works
-    unchanged (collectives ride ICI within a slice, DCN across)."""
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
-    jax.distributed.initialize(**kwargs)
+    unchanged (collectives ride ICI within a slice, DCN across).
+
+    All three args are forwarded verbatim (each may independently be
+    ``None`` — jax fills gaps by cluster auto-detection), so an explicit
+    ``--dist-process-id`` is never silently dropped just because the
+    coordinator is auto-discovered."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def make_mesh(n_devices: Optional[int] = None,

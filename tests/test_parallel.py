@@ -25,11 +25,19 @@ def test_init_distributed_plumbs_coordinator(monkeypatch):
                         lambda **kw: calls.append(kw))
     pmesh.init_distributed()
     pmesh.init_distributed("10.0.0.1:1234", num_processes=4, process_id=2)
-    assert calls[0] == {}
+    pmesh.init_distributed(num_processes=2, process_id=1)
+    # every arg is forwarded verbatim (None = jax auto-detection), so an
+    # explicit process identity is never dropped when the coordinator is
+    # auto-discovered
+    assert calls[0] == dict(coordinator_address=None, num_processes=None,
+                            process_id=None)
     assert calls[1] == dict(coordinator_address="10.0.0.1:1234",
                             num_processes=4, process_id=2)
+    assert calls[2] == dict(coordinator_address=None, num_processes=2,
+                            process_id=1)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bootstraps_subprocess(monkeypatch, capfd):
     """When the ambient runtime can't host the mesh, dryrun_multichip must
     re-exec itself with a virtual CPU mesh (the driver runs it under the
@@ -278,6 +286,7 @@ def _spawn_dist_workers(worker: str, extra_args, n: int = 2,
     return procs, outs
 
 
+@pytest.mark.slow
 def test_multihost_training_matches_single_process(tmp_path):
     """The FULL multi-host path (VERDICT r3 #1): 2 processes x 2 virtual
     CPU devices run per-process-sharded data feed -> one supervised epoch
@@ -340,6 +349,24 @@ def test_batchloader_process_slices_reassemble_global_batch(tmp_path):
         BatchLoader(ds, 8, process_count=2, drop_last=False)  # ragged tail
 
 
+def test_batchloader_defaults_process_feed_from_runtime(monkeypatch):
+    """With no explicit kwargs the loader takes its process identity from
+    the jax runtime — a loader built on a multi-process run can never
+    silently feed every host the full duplicated global batch."""
+    import _dist_common as dc
+    from mfvit_tpu.data import pipeline
+    from mfvit_tpu.data.pipeline import BatchLoader
+
+    monkeypatch.setattr(pipeline.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(pipeline.jax, "process_index", lambda: 1)
+    loader = BatchLoader(dc.SyntheticDataset(), 8, num_workers=1)
+    assert (loader.process_count, loader.process_index) == (2, 1)
+    explicit = BatchLoader(dc.SyntheticDataset(), 8, num_workers=1,
+                           process_index=0, process_count=1)
+    assert (explicit.process_count, explicit.process_index) == (1, 0)
+
+
+@pytest.mark.slow
 def test_multihost_pretrain_cli_end_to_end(tmp_path):
     """The pretrain CLI itself on 2 processes (VERDICT r3 #1c): same
     command on both hosts with --dist-* rendezvous flags, sharded
@@ -383,6 +410,7 @@ def test_multihost_pretrain_cli_end_to_end(tmp_path):
     assert (exps[0] / "train_1_0" / "checkpoint_best_loss").exists()
 
 
+@pytest.mark.slow
 def test_init_distributed_two_real_processes():
     """REAL multi-process rendezvous (VERDICT r2 #4): two subprocesses,
     localhost coordinator, 2 virtual CPU devices each -> global
