@@ -591,6 +591,98 @@ def test_lp_long_horizon_matches_torch():
             np.asarray(a), b, err_msg=jax.tree_util.keystr(pa))
 
 
+def test_fusion_long_horizon_matches_torch():
+    """LONG-horizon fusion-stage parity vs the ACTUAL reference
+    Fus_CrossViT: 24 SGD-momentum steps across 3 epochs with the
+    per-epoch cosine crossing two epoch boundaries, under the reference
+    protocol — the optimizer holds ONLY ``model.parameters()`` of
+    Fus_CrossViT (the branch ViTs are stored as bound ``features3D``
+    methods, fusion model :80-83, so they are NOT registered submodules
+    and never update; fusion main :435-451), and the training loss is
+    CE over the summed three logits (fusion main :868-873). Completes
+    the three-stage trajectory story: LP (test_lp_long_horizon...),
+    MoCo (test_moco_long_horizon...), and now the fusion finetune."""
+    import optax
+
+    from mfvit_tpu.train import optim
+
+    mod = _import_reference_fusion()
+    rng = np.random.default_rng(41)
+    B, N, dim, num_classes = 4, 9, 384, 3
+    epochs, spe = 3, 8
+    # lr sized for a stable (non-chaotic) trajectory: at 0.05 the tiny
+    # head diverges on both sides and amplifies fp32 noise past rtol
+    init_lr, wd, mom = 0.005, 1e-4, 0.9
+    batches = [
+        (rng.normal(size=(B, N, dim)).astype(np.float32),
+         rng.normal(size=(B, N, dim)).astype(np.float32),
+         rng.normal(size=(B, num_classes)).astype(np.float32),
+         rng.normal(size=(B, num_classes)).astype(np.float32),
+         rng.integers(0, num_classes, B))
+        for _ in range(epochs * spe)]
+
+    torch.manual_seed(41)
+    fake_c = _FakeViT(batches[0][0], batches[0][2])
+    fake_e = _FakeViT(batches[0][1], batches[0][3])
+    ref_model = mod.Fus_CrossViT(fake_c, fake_e).train()
+    # .copy(): detach().numpy() aliases the live parameters, which the
+    # torch SGD loop below mutates in place
+    sd0 = {k: v.detach().numpy().copy()
+           for k, v in ref_model.state_dict().items()}
+    # the reference optimizer set: exactly the Fus_CrossViT parameters
+    parameters = [p for p in ref_model.parameters() if p.requires_grad]
+    opt = torch.optim.SGD(parameters, lr=init_lr, momentum=mom,
+                          weight_decay=wd)
+    ce = nn.CrossEntropyLoss()
+    dummy = torch.zeros(B, 3, 224, 224)
+    ref_losses = []
+    for e in range(epochs):
+        # per-epoch cosine (fusion main :1044-1053)
+        for g in opt.param_groups:
+            g["lr"] = init_lr * 0.5 * (1.0 + math.cos(math.pi * e / epochs))
+        for tc, te, xc, xe, y in batches[e * spe:(e + 1) * spe]:
+            fake_c._tokens, fake_c._logits = torch.tensor(tc), torch.tensor(xc)
+            fake_e._tokens, fake_e._logits = torch.tensor(te), torch.tensor(xe)
+            opt.zero_grad()
+            fused, out_c, out_e = ref_model(fake_c, fake_e, dummy, dummy)
+            loss = ce(fused + out_c + out_e, torch.tensor(y).long())
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss.detach()))
+
+    fparams = jax.tree.map(jnp.copy, ckpt.torch_fusion_to_params(sd0))
+    tx = optim.build_optimizer(
+        "sgd", optim.finetune_lr(init_lr, epochs, cos=True,
+                                 steps_per_epoch=spe),
+        weight_decay=wd, momentum=mom)
+    opt_state = tx.init(fparams)
+
+    @jax.jit
+    def step(fp, os_, tc, te, xc, xe, y):
+        def loss_fn(fp):
+            out = fusion.apply(fp, tc, te, heads=3) + xc + xe
+            logp = jax.nn.log_softmax(out, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(fp)
+        updates, os_ = tx.update(grads, os_, fp)
+        return optax.apply_updates(fp, updates), os_, loss
+
+    our_losses = []
+    for tc, te, xc, xe, y in batches:
+        fparams, opt_state, loss = step(
+            fparams, opt_state, jnp.asarray(tc), jnp.asarray(te),
+            jnp.asarray(xc), jnp.asarray(xe), jnp.asarray(y))
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)
+    final_ref = ckpt.torch_fusion_to_params(
+        {k: v.detach().numpy() for k, v in ref_model.state_dict().items()})
+    # atol 3e-5: fp32 accumulation over 24 momentum updates (same
+    # sizing as the LP long-horizon test)
+    _assert_params_close(fparams, final_ref, rtol=1e-4, atol=3e-5)
+
+
 # ----------------------- MoCo objective parity vs the REFERENCE builder --
 # THE pretraining objective (SURVEY §2.3): forward_v2_queue must match the
 # actual builder_vit_mocov3structure_mocov2loss.MoCo_ViT imported from
