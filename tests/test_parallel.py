@@ -37,6 +37,27 @@ def test_init_distributed_plumbs_coordinator(monkeypatch):
                             process_id=1)
 
 
+def test_env_supports_never_probes_axon_for_multichip(monkeypatch):
+    """_env_supports must decide n>1 from the configured platform list
+    WITHOUT initializing the backend when axon is configured: the axon
+    tunnel exposes one chip and jax.devices() HANGS (not raises) while
+    its claim leg is wedged, which would hang the driver's MULTICHIP
+    dryrun before the CPU-subprocess bootstrap could run."""
+    import __graft_entry__ as g
+
+    def boom():
+        raise AssertionError("jax.devices() must not be touched")
+
+    monkeypatch.setattr(g.jax, "devices", boom)
+    monkeypatch.setattr(g, "_configured_platforms", lambda: "axon,cpu")
+    assert g._env_supports(8) is False
+    # n=1 and non-axon platforms still consult the live runtime
+    monkeypatch.setattr(g.jax, "devices", lambda: [object()] * 2)
+    assert g._env_supports(1) is True
+    monkeypatch.setattr(g, "_configured_platforms", lambda: "cpu")
+    assert g._env_supports(2) is True
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_bootstraps_subprocess(monkeypatch, capfd):
     """When the ambient runtime can't host the mesh, dryrun_multichip must
