@@ -8,7 +8,6 @@ single-controller — no ranks, no dist-url, no mp.spawn).
 from __future__ import annotations
 
 import argparse
-import os
 from typing import Optional
 
 import numpy as np

@@ -17,7 +17,6 @@ Usage mirrors the README recipe:
 from __future__ import annotations
 
 import argparse
-import sys
 from typing import Optional
 
 import numpy as np

@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import math
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

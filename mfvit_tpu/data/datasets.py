@@ -30,7 +30,7 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 
 from mfvit_tpu.data import host_transforms as ht
-from mfvit_tpu.data.manifest import (Manifest, parse_chexpert, parse_covid,
+from mfvit_tpu.data.manifest import (parse_chexpert, parse_covid,
                                      parse_covid_paired)
 
 Transform = Callable[[np.ndarray], np.ndarray]

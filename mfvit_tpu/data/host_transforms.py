@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import random
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ carries (PID controller etc., config.py:44-59) are vestigial and dropped.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

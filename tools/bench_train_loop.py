@@ -9,7 +9,6 @@ the round-1 behavior), on the real chip.
 Run: ./tools_tpurun.sh tools/bench_train_loop.py
 """
 import os
-import sys
 import tempfile
 import time
 

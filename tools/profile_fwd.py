@@ -20,7 +20,7 @@ import numpy as np
 
 from mfvit_tpu.models import fusion
 from mfvit_tpu.nn import posembed, vit
-from mfvit_tpu.nn.layers import layernorm, linear
+from mfvit_tpu.nn.layers import linear
 from mfvit_tpu.ops.fused_attn import fused_attention_block
 from mfvit_tpu.ops.fused_mlp import fused_mlp_block
 
