@@ -65,6 +65,10 @@ def macro_ovr_auc(logits: np.ndarray, labels: np.ndarray,
     aucs = []
     for c in range(num_classes):
         aucs.append(binary_auc(logits[:, c], (labels == c).astype(np.int32)))
+    if np.all(np.isnan(aucs)):
+        # all per-class AUCs undefined (e.g. diverged NaN logits) — the
+        # macro average is NaN by design; skip nanmean's empty-slice warn
+        return float("nan")
     return float(np.nanmean(aucs))
 
 
