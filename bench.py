@@ -19,6 +19,7 @@ of the whole benchmark run.
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -96,26 +97,53 @@ def child_main():
     }))
 
 
+def _run_child(cmd, env, timeout=_CHILD_TIMEOUT_S):
+    """Run one measurement child in ITS OWN SESSION; (code, out, err), or
+    None if it wedged past ``timeout``.
+
+    start_new_session + killpg, not subprocess.run(timeout=...): run()
+    kills only the direct child and then blocks draining the pipes —
+    which never close if the wedged child forked any helper that
+    inherited stdout/stderr — so the 'parent can never hang' guarantee
+    would fail in exactly the scenario it exists for. Killing the whole
+    process group closes every inherited pipe end; the post-kill drain is
+    still time-bounded in case a grandchild escaped the session."""
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True,
+                            start_new_session=True)
+    try:
+        out, err = proc.communicate(timeout=timeout)
+        return proc.returncode, out, err
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass  # escaped grandchild still holds the pipes; leak them
+        return None
+
+
 def main():
     if os.environ.get(_CHILD_FLAG):
         child_main()
         return
     env = dict(os.environ, **{_CHILD_FLAG: "1"})
+    cmd = [sys.executable, "-u", os.path.abspath(__file__)]
     for attempt in range(1, _ATTEMPTS + 1):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__)], env=env,
-                timeout=_CHILD_TIMEOUT_S, capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
+        res = _run_child(cmd, env)
+        if res is None:
             print(f"# attempt {attempt}: child hung >{_CHILD_TIMEOUT_S}s "
                   f"(wedged TPU claim) — killed", file=sys.stderr)
-            proc = None
-        if proc is not None:
-            sys.stderr.write(proc.stderr)
-            if proc.returncode == 0 and proc.stdout.strip():
-                sys.stdout.write(proc.stdout)
+        else:
+            code, out, err = res
+            sys.stderr.write(err)
+            if code == 0 and out.strip():
+                sys.stdout.write(out)
                 return
-            print(f"# attempt {attempt}: child exit {proc.returncode}",
+            print(f"# attempt {attempt}: child exit {code}",
                   file=sys.stderr)
         if attempt < _ATTEMPTS:
             time.sleep(_RETRY_SLEEP_S)

@@ -199,13 +199,19 @@ class StoreBudget:
         self.left += nbytes
 
 
-def _store_nbytes(n: int, side: int, chans: int, n_dev: int) -> int:
-    """HBM bytes a DeviceCanvasStore fill will actually pin: the sample
-    count WRAP-PADDED to a multiple of the mesh size (fill_from_dataset
-    pads the same way) times uint8 canvas bytes, plus the int64 label
-    row per sample."""
+def _store_nbytes(n: int, side: int, chans: int, n_dev: int,
+                  n_proc: int = 1) -> int:
+    """HBM bytes a DeviceCanvasStore fill will actually pin ON THIS HOST:
+    the sample count WRAP-PADDED to a multiple of the mesh size
+    (fill_from_dataset pads the same way) times uint8 canvas bytes, plus
+    the int64 label row per sample. On a multi-process mesh each host
+    pins only its own contiguous row block (hostput.local_row_block), so
+    the per-host reservation divides by the process count — charging the
+    global table against each host's --device-store-mb would spuriously
+    reject sharded stores that fit local HBM with room to spare."""
     padded = n if n_dev <= 1 or n % n_dev == 0 else n + n_dev - n % n_dev
-    return padded * (side * side * chans + 8)
+    local = padded // n_proc if n_proc > 1 else padded
+    return local * (side * side * chans + 8)
 
 
 def release_store(store) -> None:
@@ -336,8 +342,10 @@ def maybe_device_store(args, manifest_path: str, folder: str, *,
                                    decode=decode)
     if budget is None:
         budget = StoreBudget(args.device_store_mb)
+    sharded = mesh is not None and n_dev > 1
     nbytes = _store_nbytes(len(ds), args.img_size, chans,
-                           n_dev if mesh is not None else 1)
+                           n_dev if mesh is not None else 1,
+                           n_proc=jax.process_count() if sharded else 1)
     if not budget.reserve(nbytes):
         print("=> device canvas store: does not fit --device-store-mb "
               "budget; streaming feed for this draw")

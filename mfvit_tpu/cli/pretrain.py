@@ -331,7 +331,12 @@ def train_one_draw_fn(args, vit_cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.distributed or args.dist_coordinator is not None:
+    if (args.distributed or args.dist_coordinator is not None
+            or args.dist_num_processes is not None
+            or args.dist_process_id is not None):
+        # ANY rendezvous flag triggers init — a coordinator-auto-detected
+        # launch passing only --dist-num-processes/--dist-process-id must
+        # not degrade into N independent duplicate single-process runs
         pmesh.init_distributed(args.dist_coordinator,
                                num_processes=args.dist_num_processes,
                                process_id=args.dist_process_id)

@@ -441,6 +441,31 @@ def test_pretrain_export_torch_rejects_unsupported_arch_fast():
                        "--covid-ds", "/nonexistent"])
 
 
+def test_pretrain_dist_process_flags_alone_trigger_rendezvous(monkeypatch):
+    """--dist-num-processes/--dist-process-id WITHOUT --distributed /
+    --dist-coordinator must still rendezvous (the coordinator is
+    auto-detected on TPU pods) — silently skipping init would degrade the
+    launch into N independent duplicate single-process runs."""
+    import pytest
+
+    from mfvit_tpu.cli import pretrain
+
+    calls = []
+
+    class _Stop(Exception):
+        pass
+
+    def fake_init(coord, num_processes=None, process_id=None):
+        calls.append((coord, num_processes, process_id))
+        raise _Stop
+
+    monkeypatch.setattr(pretrain.pmesh, "init_distributed", fake_init)
+    with pytest.raises(_Stop):
+        pretrain.main(["--dist-num-processes", "2", "--dist-process-id",
+                       "0", "--covid-ds", "/nonexistent"])
+    assert calls == [(None, 2, 0)]
+
+
 def test_pretrain_cli_device_store(covid_root, capfd):
     """Default square-resize single-device runs keep the dataset resident
     in HBM: epoch >= 2 needs zero host work and zero per-step H2D

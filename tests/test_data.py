@@ -588,6 +588,20 @@ def test_store_budget_released_across_draws(tmp_path):
     assert budget.left == nbytes
 
 
+def test_store_nbytes_multiprocess_reserves_local_share_only():
+    """On a multi-process mesh each host pins only its own contiguous row
+    block (hostput.local_row_block), so the per-host --device-store-mb
+    reservation must divide by the process count — charging the global
+    table would spuriously reject sharded stores that fit local HBM."""
+    from mfvit_tpu.cli import common
+    full = common._store_nbytes(10, 16, 3, 4)  # wrap-padded 10 -> 12
+    assert full == 12 * (16 * 16 * 3 + 8)
+    assert common._store_nbytes(10, 16, 3, 4, n_proc=2) == full // 2
+    assert common._store_nbytes(10, 16, 3, 4, n_proc=1) == full
+    # single-device fills never shard across processes
+    assert common._store_nbytes(4, 16, 3, 1) == 4 * (16 * 16 * 3 + 8)
+
+
 def test_decode_cache_shared_across_loaders(tmp_path, monkeypatch):
     """All loaders of a run (train/val/test, every draw) share ONE decode
     cache per policy: each image is decoded once per process, and the RAM
