@@ -120,7 +120,11 @@ def _run_child(cmd, env, timeout=_CHILD_TIMEOUT_S):
         except (ProcessLookupError, PermissionError):
             proc.kill()
         try:
-            proc.communicate(timeout=30)
+            # surface whatever the wedged child managed to emit (the
+            # '# batch N' progress lines pinpoint where it stalled)
+            _, err = proc.communicate(timeout=30)
+            if err:
+                sys.stderr.write(err)
         except subprocess.TimeoutExpired:
             pass  # escaped grandchild still holds the pipes; leak them
         return None

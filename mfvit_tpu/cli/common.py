@@ -210,7 +210,10 @@ def _store_nbytes(n: int, side: int, chans: int, n_dev: int,
     global table against each host's --device-store-mb would spuriously
     reject sharded stores that fit local HBM with room to spare."""
     padded = n if n_dev <= 1 or n % n_dev == 0 else n + n_dev - n % n_dev
-    local = padded // n_proc if n_proc > 1 else padded
+    # ceil-divide: setup_mesh guarantees n_dev % n_proc == 0 today, but if
+    # that invariant ever drifts the reservation must round UP, never
+    # silently under-charge what fill_from_dataset will pin
+    local = -(-padded // n_proc) if n_proc > 1 else padded
     return local * (side * side * chans + 8)
 
 
