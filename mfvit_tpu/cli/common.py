@@ -68,6 +68,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="device-fused augmentation (default)")
     p.add_argument("--aug-host", dest="aug_device", action="store_false",
                    help="full host-side torchvision-parity augmentation")
+    p.add_argument("--aug-order", default="reference",
+                   choices=["reference", "crop-first"],
+                   help="training aug order for the streaming device feed:"
+                        " 'reference' = flip->rotate->crop"
+                        " (image_transform.py:58-63, fused at crop-gather"
+                        " cost); 'crop-first' = the rotate-the-crop"
+                        " ablation (PARITY.md divergence #7)")
     p.add_argument("--canvas-cache-mb", type=int, default=4096,
                    help="RAM budget for the decode+resize canvas cache "
                         "(epoch >= 2 skips PNG decode); 0 disables")
@@ -286,6 +293,50 @@ def _fill_decode_cache(args, maintain_ratio: bool):
     return None
 
 
+def host_reference_aug(args) -> bool:
+    """True when the streaming training feed's augmentation runs on the
+    HOST in the reference order (the default); False under the explicit
+    ``--aug-order crop-first`` ablation."""
+    return getattr(args, "aug_order", "reference") == "reference"
+
+
+def stream_train_view(args, key, canv, img_type):
+    """Training view for ONE streaming device-feed batch. Reference
+    order (default): the host already applied flip -> rotate -> crop
+    (CanvasTransform), so only normalization remains. crop-first
+    ablation: the legacy split — flip/rotation of the host-cropped
+    canvas on-device."""
+    from mfvit_tpu.data import device_aug
+    if host_reference_aug(args):
+        return device_aug.augment_batch(key, canv, img_type=img_type,
+                                        training=False,
+                                        out_dtype=compute_dtype(args))
+    return device_aug.augment_batch(key, canv, img_type=img_type,
+                                    training=True,
+                                    rotate_deg=float(args.rotate),
+                                    out_dtype=compute_dtype(args))
+
+
+def stream_train_two_views(args, key, canv_q, canv_k, img_type):
+    """Two-view (MoCo q/k) twin of ``stream_train_view`` for the
+    streaming SSL feed: the TwoCrops datasets emit two independently
+    augmented canvases per sample."""
+    from mfvit_tpu.data import device_aug
+    if host_reference_aug(args):
+        kq, kk = jax.random.split(key)
+        q = device_aug.augment_batch(kq, canv_q, img_type=img_type,
+                                     training=False,
+                                     out_dtype=compute_dtype(args))
+        k = device_aug.augment_batch(kk, canv_k, img_type=img_type,
+                                     training=False,
+                                     out_dtype=compute_dtype(args))
+        return q, k
+    return device_aug.augment_two_views(key, canv_q, canv_k,
+                                        img_type=img_type,
+                                        rotate_deg=float(args.rotate),
+                                        out_dtype=compute_dtype(args))
+
+
 def device_train_view(args, key, canv, img_type):
     """ONE reference-order training view — HFlip -> rotate about the full
     canvas center -> RandomCrop -> normalize (image_transform.py:58-63) —
@@ -431,11 +482,18 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
             args.img_size, args.maintain_ratio,
             args.canvas_cache_mb << 20)
     if args.aug_device:
+        # streaming training canvases arrive FULLY augmented in the
+        # reference flip->rotate->crop order (CanvasTransform fuses the
+        # rotation into the crop gather); the device then only
+        # normalizes (stream_train_view). --aug-order crop-first keeps
+        # the old host-crop + device-rotate split as an ablation.
+        host_ref = (training and host_reference_aug(args))
         def tf(seed_off):
-            return ht.CanvasTransform(img_size=args.img_size,
-                                      crop=args.crop, training=training,
-                                      maintain_ratio=args.maintain_ratio,
-                                      seed=seed + seed_off)
+            return ht.CanvasTransform(
+                img_size=args.img_size, crop=args.crop, training=training,
+                maintain_ratio=args.maintain_ratio,
+                rotate_deg=float(args.rotate) if host_ref else 0.0,
+                hflip=host_ref, seed=seed + seed_off)
         if ssl_two_views:
             if paired:
                 raise ValueError("ssl_two_views is for the single-flavor "

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.data import manifest as mf
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.nn import vit as vit_mod
@@ -212,10 +212,8 @@ def train_one_draw_fn(args, cfg):
                         x = common.device_train_view(args, k_b, canv,
                                                      args.folder)
                     elif args.aug_device:
-                        x = device_aug.augment_batch(
-                            k_b, canv, img_type=args.folder,
-                            training=True, rotate_deg=float(args.rotate),
-                            out_dtype=common.compute_dtype(args))
+                        x = common.stream_train_view(args, k_b, canv,
+                                                     args.folder)
                     else:
                         x = canv.astype(common.compute_dtype(args))
                     params, opt_state, loss, _ = train_step(

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.data import manifest as mf
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.models import fusion as fusion_mod
@@ -240,13 +240,10 @@ def train_one_draw_fn(args, cfg):
                         xe = common.device_train_view(args, kb, enh,
                                                       "Train_Mix")
                     elif args.aug_device:
-                        xc = device_aug.augment_batch(
-                            ka, cxr, img_type="data", training=True,
-                            rotate_deg=float(args.rotate), out_dtype=dt)
-                        xe = device_aug.augment_batch(
-                            kb, enh, img_type="Train_Mix",
-                            training=True, rotate_deg=float(args.rotate),
-                            out_dtype=dt)
+                        xc = common.stream_train_view(args, ka, cxr,
+                                                      "data")
+                        xe = common.stream_train_view(args, kb, enh,
+                                                      "Train_Mix")
                     else:
                         xc, xe = cxr.astype(dt), enh.astype(dt)
                     params, opt_state, loss, _ = train_step(

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mfvit_tpu.cli import common
-from mfvit_tpu.data import device_aug, manifest as mf
+from mfvit_tpu.data import manifest as mf
 from mfvit_tpu.exp import checkpoint as ckpt_mod
 from mfvit_tpu.exp import harness, storage
 from mfvit_tpu.parallel import mesh as pmesh
@@ -279,13 +279,13 @@ def train_one_draw_fn(args, vit_cfg):
                                 args, k_b, canv,
                                 "4ch" if fourch else args.folder)
                         else:
-                            # streaming: two host-cropped canvases
+                            # streaming: two host-augmented canvases
+                            # (reference order), or host-cropped under
+                            # the crop-first ablation
                             canv_q, canv_k, _labels = batch
-                            q, k_img = device_aug.augment_two_views(
-                                k_b, canv_q, canv_k,
-                                img_type="4ch" if fourch else args.folder,
-                                rotate_deg=float(args.rotate),
-                                out_dtype=common.compute_dtype(args))
+                            q, k_img = common.stream_train_two_views(
+                                args, k_b, canv_q, canv_k,
+                                "4ch" if fourch else args.folder)
                     state, opt_state, loss = step(state, opt_state, q,
                                                   k_img, jnp.float32(m))
                     n_b = int(q.shape[0])

@@ -121,11 +121,12 @@ def augment_train_canvas(key, canvases: jnp.ndarray, *, crop: int,
     """REFERENCE-ORDER training augmentation for device-resident full
     canvases: HFlip -> RandomRotation about the FULL canvas center ->
     RandomCrop -> normalize (image_transform.py:58-63). Used by the
-    device-store paths, where the pre-crop canvas lives in HBM — closing
-    PARITY.md divergence #7 for them (the streaming feed still crops on
-    the host for transfer economy). The rotation+crop pair fuses into a
-    single gather (_rotate_crop_nearest): matching the reference order
-    costs nothing."""
+    device-store paths, where the pre-crop canvas lives in HBM (the
+    streaming feed runs the same order on the HOST —
+    host_transforms.rotate_crop_window — so every training path follows
+    the reference order; PARITY.md divergence #7 is closed everywhere).
+    The rotation+crop pair fuses into a single gather
+    (_rotate_crop_nearest): matching the reference order costs nothing."""
     B, H, W, C = canvases.shape
     if crop > H or crop > W:
         raise ValueError(f"augment_train_canvas: crop {crop} > canvas "

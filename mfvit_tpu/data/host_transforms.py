@@ -182,6 +182,31 @@ def rotate(img: np.ndarray, angle_deg: float) -> np.ndarray:
         Image.fromarray(img).rotate(angle_deg, resample=Image.NEAREST))
 
 
+def rotate_crop_window(img: np.ndarray, angle_deg: float, top: int,
+                       left: int, ch: int, cw: int) -> np.ndarray:
+    """'Rotate the FULL image about its center (PIL NEAREST, zero fill),
+    then crop the (ch, cw) window at (top, left)' — the host twin of
+    device_aug._rotate_crop_nearest, bit-exact vs ``Image.rotate``
+    followed by a slice BY CONSTRUCTION (it IS that composition). Lets
+    the STREAMING training feed run the reference's flip -> rotate ->
+    crop order (image_transform.py:58-63; PARITY.md divergence #7).
+
+    Implementation note: PIL's C rotate + slice measures ~7x FASTER than
+    a numpy fused window gather on this host (0.22 ms vs 1.6 ms at
+    224x301), and replicating PIL's fixed-point coordinate accumulation
+    in numpy bit-exactly is fragile — so the full-frame rotate is not a
+    compromise, it is the better implementation. Channel counts beyond
+    PIL's modes (the 4ch stacked input) rotate per-channel-group."""
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    if img.ndim == 3 and c not in (1, 3, 4):
+        full = np.stack([rotate(np.ascontiguousarray(img[..., i]),
+                                angle_deg) for i in range(c)], axis=-1)
+    else:
+        full = rotate(np.ascontiguousarray(img), angle_deg)
+    return full[top:top + ch, left:left + cw]
+
+
 def to_float_chw_free(img: np.ndarray, mean, std) -> np.ndarray:
     """ToTensor+Normalize, but kept HWC float32 (TPU NHWC layout)."""
     x = img.astype(np.float32) / 255.0
@@ -397,17 +422,29 @@ class MoCoV3Transform:
 class CanvasTransform:
     """Canvas producer for the device-fused augmentation path.
 
-    Host does the variable-shape part only: decode + maintain-ratio resize
-    to ``img_size`` + crop to a fixed (crop, crop) square (random position
+    Host does the variable-shape part: decode + maintain-ratio resize to
+    ``img_size`` + crop to a fixed (crop, crop) square (random position
     in training, center in eval; crop defaults to img_size).
-    Flip/rotation/normalization then run fused on-device with static
-    shapes (device_aug.augment_batch). Output: uint8 (crop, crop, 3).
+
+    With ``hflip``/``rotate_deg`` set (the STREAMING training feed), the
+    host additionally runs the reference-order augmentation — HFlip ->
+    rotate about the FULL resized canvas center -> RandomCrop
+    (image_transform.py:58-63) — with the rotation+crop fused into one
+    window gather (``rotate_crop_window``), so the emitted uint8 canvas
+    is fully augmented and the device only normalizes. This closes
+    PARITY.md divergence #7 for the streaming path too: previously it
+    cropped here and rotated the crop on-device. Left at their defaults
+    (no flip, no rotation) it is the plain crop-only canvas producer the
+    store fill/eval paths use — and the explicit crop-first ablation
+    (``--aug-order crop-first``).
     """
 
     img_size: int = 224
     crop: int = 0  # 0 => img_size
     training: bool = False
     maintain_ratio: bool = True
+    rotate_deg: float = 0.0
+    hflip: bool = False
     seed: Optional[int] = None
 
     def __post_init__(self):
@@ -423,7 +460,26 @@ class CanvasTransform:
         r = _rng_for(self.seed, self._rng, ctx)
         s = self.img_size
         img = resize_shorter(img, s) if self.maintain_ratio else resize_square(img, s)
-        if self.training:
+        if self.training and (self.hflip or self.rotate_deg):
+            # reference order: flip -> rotate(full canvas) -> crop, with
+            # the draw order of the torchvision stack (flip, angle,
+            # top, left)
+            if self.hflip and r.random() < 0.5:
+                img = img[:, ::-1]
+            deg = float(self.rotate_deg)
+            angle = r.uniform(-deg, deg) if deg else 0.0
+            h, w = img.shape[:2]
+            if self.crop > h or self.crop > w:
+                raise ValueError(f"CanvasTransform: crop {self.crop} > "
+                                 f"canvas ({h}, {w})")
+            top = r.randint(0, h - self.crop) if h > self.crop else 0
+            left = r.randint(0, w - self.crop) if w > self.crop else 0
+            if angle:
+                img = rotate_crop_window(img, angle, top, left,
+                                         self.crop, self.crop)
+            else:
+                img = img[top:top + self.crop, left:left + self.crop]
+        elif self.training:
             img = random_crop(img, self.crop, self.crop, r)
         else:
             img = center_crop(img, self.crop, self.crop)

@@ -796,3 +796,103 @@ def test_eval_device_store_matches_batchloader(tmp_path):
     for (lc, ll), (sc, sl) in zip(lb, sb):
         np.testing.assert_array_equal(lc, sc)
         np.testing.assert_array_equal(ll, sl)
+
+
+def test_host_rotate_crop_window_matches_pil_rotate_then_slice():
+    """The STREAMING feed's host fused gather (rotate_crop_window) is
+    bit-exact vs PIL Image.rotate of the full canvas followed by a slice
+    — the host twin of test_rotate_then_crop_matches_full_rotation_then_
+    slice, closing PARITY.md divergence #7 for the streaming path
+    (VERDICT r4 #2; reference order image_transform.py:58-63)."""
+    from mfvit_tpu.data import host_transforms as ht
+
+    rng = np.random.default_rng(7)
+    for (h, w), angle, (top, left), crop in [
+            ((230, 197), 8.31, (3, 12), 180),
+            ((64, 96), -9.97, (0, 0), 56),
+            ((96, 64), 0.5, (40, 7), 56),
+            ((64, 64), -0.75, (5, 5), 56)]:
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        want = ht.rotate(img, angle)[top:top + crop, left:left + crop]
+        got = ht.rotate_crop_window(img, angle, top, left, crop, crop)
+        np.testing.assert_array_equal(got, want)
+    # 4-channel canvases (the builder_4ch stacked input) gather too
+    img4 = rng.integers(0, 255, (48, 48, 4), np.uint8)
+    got4 = ht.rotate_crop_window(img4, 5.0, 2, 3, 32, 32)
+    want4 = np.stack([
+        ht.rotate(np.ascontiguousarray(img4[..., c]), 5.0)[2:34, 3:35]
+        for c in range(4)], axis=-1)
+    np.testing.assert_array_equal(got4, want4)
+
+
+def test_canvas_transform_reference_order_streaming():
+    """CanvasTransform with hflip/rotate_deg set (the streaming training
+    feed) applies the reference flip -> rotate(FULL canvas) -> crop order
+    with the torchvision draw sequence; defaults keep the crop-only
+    producer (the store-fill / crop-first ablation behavior)."""
+    import random as pyrandom
+
+    from mfvit_tpu.data import host_transforms as ht
+
+    rng = np.random.default_rng(8)
+    raw = rng.integers(0, 255, (150, 120, 3), np.uint8)
+    seed, ctx = 5, (0, 3)
+    tf = ht.CanvasTransform(img_size=64, crop=56, training=True,
+                            maintain_ratio=True, rotate_deg=10.0,
+                            hflip=True, seed=seed)
+    got = tf(raw, ctx)
+    assert got.shape == (56, 56, 3) and got.dtype == np.uint8
+
+    # replay the exact draw sequence: flip, angle, top, left
+    r = pyrandom.Random(hash((seed,) + ctx))
+    img = ht.resize_shorter(raw, 64)
+    if r.random() < 0.5:
+        img = img[:, ::-1]
+    angle = r.uniform(-10.0, 10.0)
+    h, w = img.shape[:2]
+    top = r.randint(0, h - 56)
+    left = r.randint(0, w - 56)
+    want = ht.rotate(np.ascontiguousarray(img),
+                     angle)[top:top + 56, left:left + 56]
+    np.testing.assert_array_equal(got, want)
+
+    # defaults (store fill / crop-first ablation): pure random crop of
+    # the unrotated canvas
+    tf0 = ht.CanvasTransform(img_size=64, crop=56, training=True,
+                             maintain_ratio=True, seed=seed)
+    got0 = tf0(raw, ctx)
+    r0 = pyrandom.Random(hash((seed,) + ctx))
+    want0 = ht.random_crop(ht.resize_shorter(raw, 64), 56, 56, r0)
+    np.testing.assert_array_equal(got0, want0)
+
+
+def test_stream_train_view_orders():
+    """stream_train_view: reference order (default) only normalizes the
+    host-augmented canvas; the crop-first ablation still flips/rotates
+    on-device."""
+    import argparse
+
+    import jax
+
+    from mfvit_tpu.cli import common
+    from mfvit_tpu.data import device_aug
+
+    rng = np.random.default_rng(9)
+    canv = jnp.asarray(rng.integers(0, 255, (2, 16, 16, 3), np.uint8))
+    base = argparse.Namespace(compute_dtype="float32", rotate=10.0)
+
+    ref = argparse.Namespace(**vars(base), aug_order="reference")
+    out = common.stream_train_view(ref, jax.random.PRNGKey(0), canv, "data")
+    want = device_aug.augment_batch(jax.random.PRNGKey(1), canv,
+                                    img_type="data", training=False,
+                                    out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    ab = argparse.Namespace(**vars(base), aug_order="crop-first")
+    out2 = common.stream_train_view(ab, jax.random.PRNGKey(0), canv, "data")
+    want2 = device_aug.augment_batch(jax.random.PRNGKey(0), canv,
+                                     img_type="data", training=True,
+                                     rotate_deg=10.0,
+                                     out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(want2))
+    assert not np.array_equal(np.asarray(out), np.asarray(out2))
