@@ -56,8 +56,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cross-attn-depth", type=int, default=1)
     p.add_argument("--multi-scale-enc-depth", type=int, default=1)
     p.add_argument("--num-classes", type=int, default=3)
+    common.add_dist_args(p)
     p.set_defaults(epochs=25, lr=1.5e-4, batch_size=32)
     return p
+
+
+def fusion_trainable_mask(params):
+    """The reference fusion-stage optimizer set: ONLY the ``Fus_CrossViT``
+    parameters train. The fusion main builds its optimizer from
+    ``filter(requires_grad, model.parameters())`` where ``model`` is the
+    Fus_CrossViT (fusion main :435-451) — and the branch ViTs are stored
+    as bound ``features3D`` methods (fusion model :80-83), so neither
+    their bodies NOR their heads are registered submodules; none of them
+    ever reach the optimizer. The branch heads still contribute the
+    summed decision logits (:868); they just never update. Asserted
+    against the imported reference loop in
+    tests/test_l5_main_parity.py."""
+    return {
+        "cxr": jax.tree.map(lambda _: False, params["cxr"]),
+        "enh": jax.tree.map(lambda _: False, params["enh"]),
+        "fus": jax.tree.map(lambda _: True, params["fus"]),
+    }
 
 
 def load_branch(path: str, cfg, ratio, draw,
@@ -125,13 +144,11 @@ def train_one_draw_fn(args, cfg):
         mask = None
         frozen_snapshot = None
         if not args.semi_supervised:
-            # ViT bodies frozen, branch heads + fusion trainable
-            # (fusion main :297-313)
-            mask = {
-                "cxr": optim.head_only_mask(params["cxr"]),
-                "enh": optim.head_only_mask(params["enh"]),
-                "fus": jax.tree.map(lambda _: True, params["fus"]),
-            }
+            # only the fusion head trains — the reference's EFFECTIVE
+            # optimizer set (see fusion_trainable_mask; note :297-313
+            # also sets requires_grad=False on the branch bodies, but
+            # that is moot since no branch param reaches the optimizer)
+            mask = fusion_trainable_mask(params)
             frozen_snapshot = {
                 b: jax.tree.map(np.asarray, params[b])
                 for b in ("cxr", "enh")
@@ -269,13 +286,14 @@ def train_one_draw_fn(args, cfg):
                                         n_total=n_test)
                 result.test_auc, result.test_acc = t_auc, t_acc
 
-        # sanity check: the frozen ViT bodies must be bit-identical to the
-        # loaded branch checkpoints after LP-style training (fusion main
-        # :1013-1040)
+        # sanity check: the frozen branch ViTs — bodies AND heads, since
+        # neither reaches the reference optimizer — must be bit-identical
+        # to the loaded checkpoints after LP-style training (fusion main
+        # :1013-1040 + :435-451)
         if frozen_snapshot is not None:
             for b in ("cxr", "enh"):
                 harness.verify_frozen(params[b], frozen_snapshot[b],
-                                      label=f"{b}.")
+                                      label=f"{b}.", exempt_head=False)
             print("=> fusion sanity check passed.")
         # return the per-draw train store's HBM reservation to the budget
         common.release_store(store)
@@ -286,6 +304,7 @@ def train_one_draw_fn(args, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.maybe_init_distributed(args)
     if args.resume:
         # matching the reference: its finetune resume path is fully
         # commented out and unreachable (finetune :400-429) — reject

@@ -113,20 +113,25 @@ def run_draws(exp_folder: Path, ratios: Sequence, train_one_draw: Callable,
     return results
 
 
-def verify_frozen(params, snapshot, label: str = "") -> None:
+def verify_frozen(params, snapshot, label: str = "",
+                  exempt_head: bool = True) -> None:
     """Assert every non-head leaf of ``params`` is bit-identical to
     ``snapshot`` — the reference's post-LP ``sanity_check`` (finetune
     :841-866, fusion :1013-1040), a regression test for optimizer leakage
     through a bad trainable mask. Raises ValueError (not ``assert``: must
     survive ``python -O``). Only the TOP-LEVEL ``head`` subtree (the
-    classifier the LP protocol trains) is exempt."""
+    classifier the LP protocol trains) is exempt — pass
+    ``exempt_head=False`` where even the head is frozen (the fusion
+    stage: branch heads never reach the reference optimizer, see
+    cli/fuse.fusion_trainable_mask)."""
     import jax
     import numpy as np
 
     flat_now = {str(k): v for k, v in
                 jax.tree_util.tree_leaves_with_path(params)}
     for path, v in jax.tree_util.tree_leaves_with_path(snapshot):
-        if path and getattr(path[0], "key", None) == "head":
+        if (exempt_head and path
+                and getattr(path[0], "key", None) == "head"):
             continue
         if not np.array_equal(np.asarray(flat_now[str(path)]),
                               np.asarray(v)):

@@ -146,13 +146,15 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
     decision-logit protocol (fused + cxr + enh) is kept so both heads are
     drop-in interchangeable under the same CLI.
 
-    ``freeze_backbones`` is the LP fusion mode (fusion main :297-313
-    sets ``requires_grad=False`` on everything but each branch's head):
-    gradients stop at the token/feature boundary, so XLA never builds
-    the backward through the two ViT bodies — the step costs one forward
-    plus the tiny head backward instead of ~3 forwards. The trainable
-    set (branch heads + fusion) matches the optimizer mask; their
-    gradients are identical to the unfrozen formulation."""
+    ``freeze_backbones`` is the LP fusion mode: gradients stop at the
+    token/feature boundary, so XLA never builds the backward through the
+    two ViT bodies — the step costs one forward plus the tiny head
+    backward instead of ~3 forwards. The reference's EFFECTIVE trainable
+    set is the Fus_CrossViT parameters only (fusion main :435-451; the
+    branch ViTs — bodies and heads — are never registered submodules,
+    fusion model :80-83), enforced here by the optimizer mask
+    (cli/fuse.fusion_trainable_mask); the surviving gradients are
+    identical to the unfrozen formulation."""
 
     forward = make_fusion_forward(
         cfg, heads=heads, compute_dtype=compute_dtype,

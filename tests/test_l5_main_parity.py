@@ -1,0 +1,775 @@
+"""Import-parity vs the reference L5 entry mains themselves.
+
+Every other parity tier imports the reference BUILDERS, models, meters,
+optimizer and evaluator; the three entry mains (2,589 LoC — the largest
+chunk of reference code) were until now only re-implemented against
+reconstructed semantics. These tests import the ACTUAL main modules from
+/root/reference (with their absent externals stubbed: torchvision, the
+MoCo-v3 `vits`/`vits_returnftrs`, timm) and drive their real
+``train()`` / ``test()`` / ``adjust_learning_rate()`` /
+``save_checkpoint()`` / ``sanity_check()`` functions on tiny synthetic
+loaders, asserting our CLI-loop semantics produce the same numbers and
+the same checkpoint decisions on identical data:
+
+- finetune main (main_vit_covid_..._vitsmall.py): the two-phase
+  ``train()`` with the LP ``model.eval()`` protocol (:680-685), its
+  sklearn metric block (:737-747), ``test()`` (:765-826), the
+  best-val-AUC -> test -> save policy and its ``_acc`` twin (:543-605),
+  the per-epoch cosine/milestone ``adjust_learning_rate`` (:870-882),
+  and ``sanity_check`` (:841-866) — run both on the reference's own
+  artifacts and on OUR exported torch checkpoints.
+- fusion main (..._crossvit_2vits_..._trainval_sum.py): ``train()`` over
+  the dual loaders with summed decision logits (:862-873), the
+  AUC-only checkpoint policy (:699-724), the optimizer-set semantics
+  (only ``Fus_CrossViT.parameters()`` train, :435-451 — branch ViTs are
+  bound ``features3D`` methods, never submodules), and its trivially
+  passing ``sanity_check`` quirk (:1026-1038).
+- pretrain main (main_covid_mocov3based_..._vitsmall.py): ``train()``
+  over the imported v2-loss builder with the per-iteration
+  warmup-cosine LR and m-cos ramp (:503-559), and the smallest-loss
+  checkpoint policy (:448-467).
+"""
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+# whole-module: imports the reference mains + torch twins, multi-epoch
+# optimizer loops — parity tier, not the quick loop
+pytestmark = pytest.mark.slow
+
+import torch
+import torch.nn as nn
+
+from test_torch_parity import (  # noqa: E402  (shared parity fixtures)
+    TINY, TorchViT, _assert_params_close, _import_reference_fusion,
+    _init_single_process_dist, _moco_tower_to_params, _torch_mlp_to_params)
+
+from mfvit_tpu.cli import fuse as fuse_cli
+from mfvit_tpu.exp import checkpoint as ckpt
+from mfvit_tpu.exp import harness
+from mfvit_tpu.ssl import moco as moco_mod
+from mfvit_tpu.train import metrics as metrics_mod
+from mfvit_tpu.train import optim, steps
+
+REF_ROOT = Path("/root/reference")
+REF_MOCO = str(REF_ROOT / "moco_pretraining" / "moco")
+
+_MAIN_FILES = {
+    "finetune": "main_vit_covid_test_val_single_img_type_5draws_rev_"
+                "v2loss_v3structure_vitsmall.py",
+    "fusion": "main_vit_covid_test_val_single_img_type_5draws_rev_v2loss_"
+              "v3structure_crossvit_2vits_2additionaloutputs_trainval_"
+              "sum.py",
+    "pretrain": "main_covid_mocov3based_single_img_type_5draws_"
+                "mocov3structure_mocov2loss_vitsmall.py",
+}
+
+
+class _TorchCpuProxy:
+    """``torch`` stand-in injected into the imported main modules only:
+    ``torch.device('cuda:0')`` (finetune :678, fusion :824) resolves to
+    CPU, everything else passes through. Scoped to the reference module
+    namespaces — the global torch module is untouched, so torch.load's
+    internal ``isinstance(x, torch.device)`` checks keep working."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def __getattr__(self, name):
+        if name == "device":
+            return lambda *a, **k: self._real.device("cpu")
+        return getattr(self._real, name)
+
+
+@pytest.fixture(scope="module")
+def ref_mains():
+    """Import the three actual reference entry mains.
+
+    Stubbed (absent in this image / external to the reference repo):
+    torchvision (+transforms/datasets/models — only touched for the
+    model-zoo name listing and transform composition, neither exercised
+    here), the MoCo-v3 ``vits``/``vits_returnftrs`` backbones (these
+    tests construct models explicitly), torchvision's
+    ``_internally_replaced_utils``, and timm (via the shared
+    _import_reference_fusion stub, which the fusion main's model import
+    needs)."""
+    installed = []
+
+    def stub(name):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            installed.append(name)
+
+    stub("torchvision")
+    for sub in ("transforms", "datasets", "models"):
+        stub(f"torchvision.{sub}")
+        setattr(sys.modules["torchvision"], sub,
+                sys.modules[f"torchvision.{sub}"])
+    stub("vits")
+    stub("vits_returnftrs")
+    stub("_internally_replaced_utils")
+    sys.modules["_internally_replaced_utils"].load_state_dict_from_url = (
+        lambda *a, **k: {})
+    _import_reference_fusion()  # installs the timm stub + model import
+    if REF_MOCO not in sys.path:
+        sys.path.insert(0, REF_MOCO)
+
+    mains = {}
+    for key, fname in _MAIN_FILES.items():
+        spec = importlib.util.spec_from_file_location(
+            f"ref_main_{key}", str(REF_ROOT / fname))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.torch = _TorchCpuProxy(torch)
+        mains[key] = mod
+    yield mains
+    for name in installed:
+        sys.modules.pop(name, None)
+
+
+@pytest.fixture()
+def cuda_stubbed(monkeypatch):
+    """The imported builders call ``Tensor.cuda`` on labels/permutations;
+    pin them to CPU (same stub as the builder parity tests)."""
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+
+class _RecordingWriter:
+    """SummaryWriter stand-in recording (tag, step) -> value."""
+
+    def __init__(self):
+        self.scalars = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars[(tag, step)] = float(value)
+
+
+def _make_batches(rng, n, bs, num_classes=3, img=32):
+    out = []
+    for start in range(0, n, bs):
+        b = min(bs, n - start)
+        out.append((rng.normal(size=(b, img, img, 3)).astype(np.float32),
+                    rng.integers(0, num_classes, b)))
+    return out
+
+
+def _torch_loader(batches, label_offset=0):
+    """Reference Dataset_covid batch shape: ([view1, view2], target) —
+    train()/test() unpack ``images, images2 = image`` and use only the
+    first view (finetune :698, fusion :847-848)."""
+    out = []
+    for x, y in batches:
+        t = torch.tensor(x).permute(0, 3, 1, 2)
+        out.append(((t, t.clone()), torch.tensor(y + label_offset)))
+    return out
+
+
+def _ref_metric_block(logits_list, labels_list, n):
+    """Our metric registry applied to the reference's per-phase protocol
+    (finetune :728-747): AUC = macro one-vs-rest roc_curve AUC on raw
+    logits, ACC = correct/num_imgs, both over every batch's outputs."""
+    logits = np.concatenate(logits_list, axis=0)
+    labels = np.concatenate(labels_list, axis=0)
+    auc = metrics_mod.macro_ovr_auc(logits, labels)
+    acc = float(np.sum(logits.argmax(-1) == labels)) / n
+    return auc, acc
+
+
+def _eval_phase(eval_step_fn, batches, n):
+    """Our CLI's eval phase on a list of batches: loss weighted by batch
+    size / n (the reference's running_loss protocol, :720, :747)."""
+    logits_list, labels_list, running = [], [], 0.0
+    for x, y in batches:
+        logits = np.asarray(eval_step_fn(jnp.asarray(x)))
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+        running += float(
+            -np.take_along_axis(logp, y[:, None], -1).mean()) * len(y)
+        logits_list.append(logits)
+        labels_list.append(y)
+    auc, acc = _ref_metric_block(logits_list, labels_list, n)
+    return running / n, auc, acc
+
+
+# ---------------------------------------------------------------------
+# finetune main
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("opt_name,cos,semi,lr", [
+    ("sgd", True, False, 0.4),    # the README LP recipe: SGD + cosine
+    ("adam", False, True, 1e-3),  # full finetune: Adam + milestones
+])
+def test_finetune_main_loop_parity(ref_mains, tmp_path, opt_name, cos,
+                                   semi, lr):
+    """Drive the ACTUAL finetune main's train()/test() epoch loop for 3
+    epochs on synthetic data and replay the main_worker decision flow
+    (:543-628) around them; our loop must reproduce every per-phase
+    loss/AUC/ACC, every LR value, and every checkpoint decision."""
+    ref = ref_mains["finetune"]
+    epochs, bs, n_train, n_val, n_test = 3, 4, 12, 10, 8
+
+    torch.manual_seed(50 + int(semi))
+    tm = TorchViT(TINY, num_classes=3)
+    if not semi:
+        # LP freeze + fresh N(0, 0.01) head (finetune :283-296)
+        for name, p in tm.named_parameters():
+            if name not in ("head.weight", "head.bias"):
+                p.requires_grad = False
+    tm.head.weight.data.normal_(mean=0.0, std=0.01)
+    tm.head.bias.data.zero_()
+
+    # pretrained checkpoint files for sanity_check:
+    # (a) twin-named MoCo-format file — the reference-side artifact
+    ref_pre = tmp_path / "ref_pre" / "checkpoint_smallest_loss.pth.tar"
+    ref_pre.parent.mkdir()
+    torch.save({"epoch": 0, "state_dict": {
+        "module.base_encoder." + k: v.detach().clone()
+        for k, v in tm.state_dict().items()
+        if not k.startswith("head.")}}, ref_pre)
+    # (b) OUR exported MoCo checkpoint (save_moco_torch_checkpoint) whose
+    # base encoder is the same backbone — the artifact the reference
+    # finetune would consume after a TPU pretrain
+    mcfg = moco_mod.MoCoConfig(dim=8, mlp_dim=16, K=16, T=0.2,
+                               stop_grad_conv1=False)
+    state = moco_mod.init(jax.random.PRNGKey(3), mcfg, TINY)
+    state["base"]["encoder"] = jax.tree.map(
+        jnp.copy, ckpt.torch_vit_to_params(
+            tm.state_dict_vits_names(include_head=False), TINY,
+            expect_head=False))
+    our_pre = str(tmp_path / "ours_moco.pth.tar")
+    ckpt.save_moco_torch_checkpoint(our_pre, state, TINY, epoch=0)
+
+    params = jax.tree.map(
+        jnp.copy, ckpt.torch_vit_to_params(tm.state_dict_vits_names(),
+                                           TINY))
+
+    drng = np.random.default_rng(51)
+    train_batches = {e: _make_batches(drng, n_train, bs)
+                     for e in range(epochs)}
+    val_batches = _make_batches(drng, n_val, bs)
+    test_batches = _make_batches(drng, n_test, bs)
+
+    args = types.SimpleNamespace(
+        semi_supervised=semi, cos=cos, schedule=[1, 2], epochs=epochs,
+        start_epoch=0, lr=lr, batch_size=bs, pretrained=str(tmp_path))
+    # init_lr: lr*bs/8 in cosine mode, bare lr otherwise (:344-347)
+    init_lr = lr * bs / 8 if cos else lr
+    assert init_lr == optim.scaled_init_lr(lr, bs, cos=cos,
+                                           entry="finetune")
+
+    # ---- reference side: the actual imported functions, with the
+    # main_worker control flow replayed around them (:543-628)
+    criterion = nn.CrossEntropyLoss()
+    parameters = [p for p in tm.parameters() if p.requires_grad]
+    if not semi:
+        assert len(parameters) == 2  # :382-384
+    if opt_name == "sgd":
+        opt = torch.optim.SGD(parameters, init_lr, momentum=0.9,
+                              weight_decay=0.0)  # :390-392
+    else:
+        # quirk: Adam is built over model.parameters() at args.lr
+        # (:394-397) — frozen params simply never receive grads, and
+        # adjust_learning_rate overwrites the lr before the first step
+        opt = torch.optim.Adam(tm.parameters(), lr, betas=(0.9, 0.999),
+                               weight_decay=0.0)
+    writer = _RecordingWriter()
+    sub = tmp_path / "ref_sub"
+    sub_acc = tmp_path / "ref_sub_acc"
+    sub.mkdir(), sub_acc.mkdir()
+    best_val_auc = best_test_auc = best_val_acc = best_test_acc = 0.0
+    ref_lrs, ref_events = [], []
+    for epoch in range(epochs):
+        ref_lrs.append(ref.adjust_learning_rate(opt, init_lr, epoch, args))
+        loaders = {"train": _torch_loader(train_batches[epoch]),
+                   "val": _torch_loader(val_batches)}
+        sizes = {"train": n_train, "val": n_val}
+        val_loss, val_auc, val_acc, writer, tm = ref.train(
+            loaders, tm, criterion, opt, epoch, args, sizes, writer)
+        if val_auc > best_val_auc:  # :555-579
+            best_val_auc = val_auc
+            t_loss, t_auc, _ = ref.test(_torch_loader(test_batches), tm,
+                                        criterion, opt, epoch, n_test)
+            if t_auc > best_test_auc:
+                best_test_auc = t_auc
+            ref.save_checkpoint(str(sub), {
+                "epoch": epoch + 1, "arch": "vit_small",
+                "state_dict": tm.state_dict(),
+                "best_metric_val_test": t_auc,
+                "best_metric_val": best_val_auc,
+                "best_metric_test": best_test_auc,
+                "optimizer": opt.state_dict()}, is_best=True)
+            ref_events.append(("auc", epoch, t_auc))
+            if epoch == args.start_epoch and args.pretrained:
+                ref.sanity_check(tm.state_dict(), str(ref_pre), semi,
+                                 "head")  # :577-579
+        if val_acc > best_val_acc:  # :581-605 (_acc twin)
+            best_val_acc = val_acc
+            _, _, t_acc = ref.test(_torch_loader(test_batches), tm,
+                                   criterion, opt, epoch, n_test)
+            if t_acc > best_test_acc:
+                best_test_acc = t_acc
+            ref.save_checkpoint(str(sub_acc), {
+                "epoch": epoch + 1, "arch": "vit_small",
+                "state_dict": tm.state_dict(),
+                "best_metric_val_test": t_acc,
+                "best_metric_val": best_val_acc,
+                "best_metric_test": best_test_acc,
+                "optimizer": opt.state_dict()}, is_best=True)
+            ref_events.append(("acc", epoch, t_acc))
+    ref.save_checkpoint(str(sub), {  # final save (:608-624)
+        "epoch": epochs, "arch": "vit_small",
+        "state_dict": tm.state_dict(),
+        "best_metric_val_auc": best_val_auc,
+        "optimizer": opt.state_dict()}, is_best=False)
+    assert (sub / "model_best.pth.tar").is_file()
+    assert (sub / "last_checkpoint.pth.tar").is_file()
+    loaded_best = torch.load(sub / "model_best.pth.tar",
+                             map_location="cpu", weights_only=False)
+    assert loaded_best["best_metric_val"] == best_val_auc
+
+    # ---- our side: same data, same order, our CLI-loop building blocks
+    spe = len(train_batches[0])
+    mask = None if semi else optim.head_only_mask(params)
+    sched = optim.finetune_lr(init_lr, epochs, cos=cos,
+                              schedule=args.schedule, steps_per_epoch=spe)
+    tx = optim.build_optimizer(opt_name, sched, weight_decay=0.0,
+                               momentum=0.9, trainable_mask=mask)
+    train_step, eval_step = steps.make_classifier_steps(
+        TINY, tx, compute_dtype=jnp.float32, attn_backend="xla")
+    opt_state = tx.init(params)
+    best = ckpt.BestKeeper(tmp_path / "our_sub", mode="max")
+    best_acc_keeper = ckpt.BestKeeper(tmp_path / "our_sub_acc", mode="max")
+    our_events = []
+    for epoch in range(epochs):
+        # the per-epoch LR the reference applied == our schedule at this
+        # epoch's steps (finetune :870-882 vs optim.finetune_lr)
+        np.testing.assert_allclose(float(sched(epoch * spe)),
+                                   ref_lrs[epoch], rtol=1e-6)
+        logits_l, labels_l, running = [], [], 0.0
+        for x, y in train_batches[epoch]:
+            params, opt_state, loss, logits = train_step(
+                params, opt_state, jnp.asarray(x), jnp.asarray(y))
+            running += float(loss) * len(y)
+            logits_l.append(np.asarray(logits))
+            labels_l.append(y)
+        tr_auc, tr_acc = _ref_metric_block(logits_l, labels_l, n_train)
+        tr_loss = running / n_train
+        v_loss, v_auc, v_acc = _eval_phase(
+            lambda xb: eval_step(params, xb), val_batches, n_val)
+
+        # per-phase metric block parity (:737-759 writer scalars)
+        s = writer.scalars
+        np.testing.assert_allclose(tr_loss, s[("train/loss", epoch)],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(tr_auc, s[("train/auc", epoch)],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(tr_acc, s[("train/acc", epoch)],
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(v_loss, s[("val/loss", epoch)],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(v_auc, s[("val/auc", epoch)],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(v_acc, s[("val/acc", epoch)],
+                                   rtol=0, atol=1e-12)
+
+        # decision parity: test-on-val-improvement, AUC + _acc twin
+        if best.update(v_auc, params, save_last=False):
+            t_loss, t_auc, _ = _eval_phase(
+                lambda xb: eval_step(params, xb), test_batches, n_test)
+            our_events.append(("auc", epoch, t_auc))
+        if best_acc_keeper.update(v_acc, params, save_last=False):
+            _, _, t_acc = _eval_phase(
+                lambda xb: eval_step(params, xb), test_batches, n_test)
+            our_events.append(("acc", epoch, t_acc))
+
+    assert [(k, e) for k, e, _ in our_events] == \
+        [(k, e) for k, e, _ in ref_events]
+    for (_, _, ours), (_, _, theirs) in zip(our_events, ref_events):
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-7)
+
+    # final params equal after the full loop. atol: fp32 accumulation
+    # over 9 steps for SGD; Adam's sqrt-normalized update flips sign on
+    # near-zero grads (measured 7/96 bias elements at ~1.2e-4 — a few
+    # multiples of lr, same intrinsic noise the MoCo adamw step test
+    # documents), so the adam variant gets 5e-4
+    final_ref = ckpt.torch_vit_to_params(tm.state_dict_vits_names(), TINY)
+    _assert_params_close(params, final_ref, rtol=1e-4,
+                         atol=5e-4 if opt_name == "adam" else 3e-5)
+
+    if not semi:
+        # the reference's OWN sanity_check passes on OUR exported
+        # artifacts: finetuned params exported with params_to_torch_vit
+        # against the save_moco_torch_checkpoint pretrain export
+        our_sd = {k: torch.tensor(np.asarray(v))
+                  for k, v in ckpt.params_to_torch_vit(params, TINY).items()}
+        ref.sanity_check(our_sd, our_pre, False, "head")
+        # ... and it has teeth: a perturbed backbone leaf must fail it
+        bad = dict(our_sd)
+        bad["cls_token"] = bad["cls_token"] + 1.0
+        with pytest.raises(AssertionError):
+            ref.sanity_check(bad, our_pre, False, "head")
+        # our in-framework twin of the same check
+        harness.verify_frozen(
+            params, ckpt.load_moco_pretrained_backbone(our_pre, TINY))
+
+
+# ---------------------------------------------------------------------
+# fusion main
+# ---------------------------------------------------------------------
+
+class _TorchViTFtrs(TorchViT):
+    """vits_returnftrs twin: ``features3D(x)`` returns ALL post-final-norm
+    tokens (B, N+1, D) — the token contract nn/vit.py implements with
+    ``return_features=True`` (SURVEY §2.7)."""
+
+    def features3D(self, x):
+        B = x.shape[0]
+        x = self.patch_conv(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], 1)
+        x = x + self.pos_embed
+        for b in self.blocks:
+            x = b(x)
+        return self.norm(x)
+
+
+def test_fusion_main_loop_parity(ref_mains, tmp_path):
+    """Drive the ACTUAL fusion main's train() for 3 epochs with real tiny
+    branch ViTs and replay its decision flow (:686-777); our fusion CLI
+    semantics (summed decision logits, fusion-only optimizer set,
+    AUC-only checkpointing) must match on identical data."""
+    ref = ref_mains["fusion"]
+    epochs, bs, n_train, n_val = 3, 4, 12, 10
+    lr, heads = 0.08, 2
+
+    torch.manual_seed(60)
+    tm_c = _TorchViTFtrs(TINY, num_classes=3)
+    tm_e = _TorchViTFtrs(TINY, num_classes=3)
+    # branch LP freeze (:297-305) — moot for the optimizer (no branch
+    # param is registered on Fus_CrossViT), replayed for faithfulness
+    for m in (tm_c, tm_e):
+        for name, p in m.named_parameters():
+            if name not in ("head.weight", "head.bias"):
+                p.requires_grad = False
+    fus = ref.Fus_CrossViT(tm_c, tm_e, num_classes=3, small_dim=TINY.dim,
+                           large_dim=TINY.dim, heads=heads)
+    # pin the optimizer-set quirk our fusion_trainable_mask encodes:
+    # Fus_CrossViT registers NO branch parameters — neither bodies nor
+    # heads ever reach filter(requires_grad, model.parameters())
+    assert not any(k.startswith(("vit", "cxr", "enh"))
+                   for k in fus.state_dict())
+    fus_sd0 = {k: v.detach().numpy().copy()
+               for k, v in fus.state_dict().items()}
+    head_c0 = tm_c.head.weight.detach().numpy().copy()
+
+    drng = np.random.default_rng(61)
+    cxr_batches = {e: _make_batches(drng, n_train, bs)
+                   for e in range(epochs)}
+    enh_batches = {e: _make_batches(drng, n_train, bs)
+                   for e in range(epochs)}
+    cxr_val = _make_batches(drng, n_val, bs)
+    enh_val = _make_batches(drng, n_val, bs)
+
+    args = types.SimpleNamespace(semi_supervised=False, cos=True,
+                                 schedule=[], epochs=epochs, start_epoch=0,
+                                 lr=lr, batch_size=bs,
+                                 pretrained=str(tmp_path))
+    init_lr = lr * bs / 8  # :397-400
+    assert init_lr == optim.scaled_init_lr(lr, bs, cos=True, entry="fusion")
+
+    # a branch checkpoint file for the sanity_check call (:722-724): any
+    # torch-loadable state_dict — the quirk is that the check touches
+    # nothing (no 'cxr.'-prefixed key exists) and passes trivially
+    pre_path = tmp_path / "model_best.pth.tar"
+    torch.save({"state_dict": {k: v.detach().clone()
+                               for k, v in tm_c.state_dict().items()}},
+               pre_path)
+
+    criterion = nn.CrossEntropyLoss()
+    parameters = list(filter(lambda p: p.requires_grad,
+                             fus.parameters()))  # :435
+    opt = torch.optim.SGD(parameters, init_lr, momentum=0.9,
+                          weight_decay=0.0)  # :449-451
+    writer = _RecordingWriter()
+    sub = tmp_path / "ref_sub"
+    sub.mkdir()
+    best_val_auc, ref_lrs, ref_events = 0.0, [], []
+    # enh-loader labels deliberately offset: train() must ignore them
+    # (``image_enh, _ = next(dataiter_enh)``, :845)
+    for epoch in range(epochs):
+        ref_lrs.append(ref.adjust_learning_rate(opt, init_lr, epoch, args))
+        loaders_c = {"train": _torch_loader(cxr_batches[epoch]),
+                     "val": _torch_loader(cxr_val)}
+        # poison the enh targets to prove they are never read
+        loaders_e = {
+            phase: [(img, tgt * 0 - 1) for img, tgt in loader]
+            for phase, loader in
+            (("train", _torch_loader(enh_batches[epoch])),
+             ("val", _torch_loader(enh_val)))}
+        sizes = {"train": n_train, "val": n_val}
+        val_loss, val_auc, val_acc, writer, fus = ref.train(
+            loaders_c, loaders_e, fus, tm_c, tm_e, criterion, opt, epoch,
+            args, sizes, writer)
+        if val_auc > best_val_auc:  # :699-724 (AUC branch only is live)
+            best_val_auc = val_auc
+            ref.save_checkpoint(str(sub), {
+                "epoch": epoch + 1, "arch": "vit_small",
+                "state_dict": fus.state_dict(),
+                "best_metric_val": best_val_auc,
+                "optimizer": opt.state_dict()}, is_best=True)
+            ref_events.append(("auc", epoch))
+            if epoch == args.start_epoch and args.pretrained:
+                # the reference fusion sanity_check is a no-op by
+                # construction (no 'cxr.' key) — assert it PASSES, which
+                # pins the quirk
+                ref.sanity_check(fus.state_dict(), str(pre_path), False,
+                                 "head")
+    ref.save_checkpoint(str(sub), {
+        "epoch": epochs, "arch": "vit_small",
+        "state_dict": fus.state_dict(),
+        "best_metric_val_auc": best_val_auc,
+        "optimizer": opt.state_dict()}, is_best=False)  # :753-770
+    assert (sub / "model_best.pth.tar").is_file()
+    # reference branch heads never moved (the optimizer-set semantics)
+    np.testing.assert_array_equal(tm_c.head.weight.detach().numpy(),
+                                  head_c0)
+
+    # ---- our side
+    params = {
+        "cxr": jax.tree.map(jnp.copy, ckpt.torch_vit_to_params(
+            tm_c.state_dict_vits_names(), TINY)),
+        "enh": jax.tree.map(jnp.copy, ckpt.torch_vit_to_params(
+            tm_e.state_dict_vits_names(), TINY)),
+        "fus": jax.tree.map(jnp.copy, ckpt.torch_fusion_to_params(fus_sd0)),
+    }
+    frozen_snapshot = {b: jax.tree.map(np.asarray, params[b])
+                       for b in ("cxr", "enh")}
+    mask = fuse_cli.fusion_trainable_mask(params)
+    spe = len(cxr_batches[0])
+    sched = optim.finetune_lr(init_lr, epochs, cos=True,
+                              steps_per_epoch=spe)
+    tx = optim.build_optimizer("sgd", sched, weight_decay=0.0,
+                               momentum=0.9, trainable_mask=mask)
+    train_step, eval_step = steps.make_fusion_steps(
+        TINY, tx, heads=heads, freeze_backbones=True,
+        compute_dtype=jnp.float32, attn_backend="xla")
+    opt_state = tx.init(params)
+    best = ckpt.BestKeeper(tmp_path / "our_sub", mode="max")
+    our_events = []
+    for epoch in range(epochs):
+        np.testing.assert_allclose(float(sched(epoch * spe)),
+                                   ref_lrs[epoch], rtol=1e-6)
+        logits_l, labels_l, running = [], [], 0.0
+        for (xc, y), (xe, _) in zip(cxr_batches[epoch],
+                                    enh_batches[epoch]):
+            params, opt_state, loss, out = train_step(
+                params, opt_state, jnp.asarray(xc), jnp.asarray(xe),
+                jnp.asarray(y))
+            running += float(loss) * len(y)
+            logits_l.append(np.asarray(out))
+            labels_l.append(y)
+        tr_auc, tr_acc = _ref_metric_block(logits_l, labels_l, n_train)
+        tr_loss = running / n_train
+
+        logits_l, labels_l, running = [], [], 0.0
+        for (xc, y), (xe, _) in zip(cxr_val, enh_val):
+            out = np.asarray(eval_step(params, jnp.asarray(xc),
+                                       jnp.asarray(xe)))
+            logp = np.asarray(jax.nn.log_softmax(jnp.asarray(out), -1))
+            running += float(
+                -np.take_along_axis(logp, y[:, None], -1).mean()) * len(y)
+            logits_l.append(out)
+            labels_l.append(y)
+        v_auc, v_acc = _ref_metric_block(logits_l, labels_l, n_val)
+        v_loss = running / n_val
+
+        s = writer.scalars
+        np.testing.assert_allclose(tr_loss, s[("train/loss", epoch)],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(tr_auc, s[("train/auc", epoch)],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(tr_acc, s[("train/acc", epoch)],
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(v_loss, s[("val/loss", epoch)],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(v_auc, s[("val/auc", epoch)],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(v_acc, s[("val/acc", epoch)],
+                                   rtol=0, atol=1e-12)
+        if best.update(v_auc, params, save_last=False):
+            our_events.append(("auc", epoch))
+
+    assert our_events == ref_events
+    # final fusion params track the reference optimizer trajectory
+    final_ref = ckpt.torch_fusion_to_params(
+        {k: v.detach().numpy() for k, v in fus.state_dict().items()})
+    _assert_params_close(params["fus"], final_ref, rtol=1e-4, atol=3e-5)
+    # branches — bodies AND heads — bit-frozen, like the reference
+    for b in ("cxr", "enh"):
+        harness.verify_frozen(params[b], frozen_snapshot[b], label=f"{b}.",
+                              exempt_head=False)
+
+
+# ---------------------------------------------------------------------
+# pretrain main
+# ---------------------------------------------------------------------
+
+def test_pretrain_main_train_parity(ref_mains, cuda_stubbed, tmp_path):
+    """Drive the ACTUAL pretrain main's train() (:484-559) for 2 epochs
+    over the imported v2-loss builder — per-iteration warmup-cosine LR
+    and m-cos both adjusted INSIDE the reference loop — and replay the
+    smallest-loss checkpoint policy (:448-467). Our pretrain step +
+    schedules must reproduce every per-step loss, every LR value, and
+    every save decision."""
+    ref = ref_mains["pretrain"]
+    _init_single_process_dist(tmp_path)
+
+    torch.manual_seed(70)
+    dim, mlp_dim, T, m0 = 16, 32, 0.2, 0.9
+    epochs, spe, bs, K = 2, 4, 4, 32
+    # lr sized to keep the kink-flip cascade (see tolerance note below)
+    # small over the 8-step horizon while the warmup ramp still moves
+    # every parameter
+    lr0 = 5e-3
+    args = types.SimpleNamespace(
+        arch="vit_small", cos=True, warmup_epochs=1, epochs=epochs,
+        schedule=[], moco_m=m0, moco_m_cos=True, gpu=None, rank=0,
+        print_freq=100)
+    builder = ref.builder_vit  # the main's own import (:35)
+    model = builder.MoCo_ViT(lambda num_classes: TorchViT(TINY, num_classes),
+                             args, dim=dim, mlp_dim=mlp_dim, T=T)
+    model.K = K
+    model.register_buffer("queue", nn.functional.normalize(
+        torch.randn(dim, K), dim=0))
+    model.register_buffer("queue_ptr", torch.zeros(1, dtype=torch.long))
+    with torch.no_grad():
+        for p in model.momentum_encoder.parameters():
+            p.add_(0.01 * torch.randn_like(p))
+
+    cfg = moco_mod.MoCoConfig(dim=dim, mlp_dim=mlp_dim, K=K, T=T,
+                              stop_grad_conv1=False)
+    state = {
+        "base": _moco_tower_to_params(model.base_encoder, TINY),
+        "momentum": _moco_tower_to_params(model.momentum_encoder, TINY),
+        "predictor": _torch_mlp_to_params(model.predictor),
+        "queue": jnp.asarray(np.copy(model.queue.numpy())),
+        "queue_ptr": jnp.zeros((), jnp.int32),
+    }
+    state = jax.tree.map(lambda a: jnp.asarray(np.copy(np.asarray(a))),
+                         state)
+
+    rng = np.random.default_rng(71)
+    batches = {e: [(rng.normal(size=(bs, 32, 32, 3)).astype(np.float32),
+                    rng.normal(size=(bs, 32, 32, 3)).astype(np.float32))
+                   for _ in range(spe)] for e in range(epochs)}
+
+    def loader(e):
+        return [([torch.tensor(q).permute(0, 3, 1, 2),
+                  torch.tensor(k).permute(0, 3, 1, 2)],
+                 torch.zeros(len(q))) for q, k in batches[e]]
+
+    # ---- reference side: the actual train() + the epoch-loop policy
+    criterion = nn.CrossEntropyLoss()
+    opt_t = torch.optim.SGD(
+        [p for p in model.parameters() if p.requires_grad], lr=lr0,
+        momentum=0.9)
+    scaler = torch.cuda.amp.GradScaler()  # CUDA-less: warns + disables
+    writer = _RecordingWriter()
+    model.train()
+    smallest, ref_ep_losses, ref_saves = float("inf"), [], []
+    for epoch in range(epochs):
+        ep_loss, n_imgs = ref.train(loader(epoch), model, criterion, opt_t,
+                                    scaler, writer, epoch, args, lr0)
+        assert n_imgs == spe * bs
+        ref_ep_losses.append(ep_loss)
+        if ep_loss < smallest:  # :458-467
+            smallest = ep_loss
+            ref.save_checkpoint({
+                "epoch": epoch + 1, "arch": args.arch,
+                "state_dict": model.state_dict(),
+                "optimizer": opt_t.state_dict()}, is_best=False,
+                filename=str(tmp_path / "checkpoint_smallest_loss.pth.tar"))
+            ref_saves.append(epoch)
+    assert (tmp_path / "checkpoint_smallest_loss.pth.tar").is_file()
+
+    # ---- our side: per-iteration schedule + m-cos, same batches
+    sched = optim.pretrain_cosine_lr(lr0, epochs, args.warmup_epochs,
+                                     steps_per_epoch=spe)
+    tx = optim.build_optimizer("sgd", sched, weight_decay=0.0, momentum=0.9)
+    step = moco_mod.make_pretrain_step(cfg, TINY, tx,
+                                       compute_dtype=jnp.float32)
+    opt_state = tx.init({"base": state["base"],
+                         "predictor": state["predictor"]})
+    best = ckpt.BestKeeper(tmp_path / "our_sub", mode="min")
+    our_ep_losses, our_step_losses, our_saves = [], [], []
+    for epoch in range(epochs):
+        running = 0.0
+        for i, (q, k) in enumerate(batches[epoch]):
+            gstep = epoch * spe + i
+            efrac = epoch + i / spe  # pretrain :514
+            # the reference adjusted these INSIDE train(); its writer
+            # recorded them — our schedules must match point-for-point
+            np.testing.assert_allclose(float(sched(gstep)),
+                                       writer.scalars[("lr", gstep)],
+                                       rtol=1e-6)
+            m = optim.moco_momentum(efrac, m0, epochs)
+            np.testing.assert_allclose(
+                m, ref.adjust_moco_momentum(efrac, args), rtol=1e-12)
+            state, opt_state, loss = step(
+                state, opt_state, jnp.asarray(q), jnp.asarray(k),
+                jnp.float32(m))
+            our_step_losses.append(float(loss))
+            running += float(loss) * bs
+        our_ep_losses.append(running / (spe * bs))
+        if best.update(our_ep_losses[-1], {"epoch": jnp.asarray(epoch)},
+                       save_last=False):
+            our_saves.append(epoch)
+
+    ref_step_losses = [writer.scalars[("loss", g)]
+                       for g in range(epochs * spe)]
+    # Tolerance design: with warmup_epochs=1 the step-0 LR is exactly 0
+    # and step 1 follows a single tiny update, so the first two losses
+    # are pure forward parity (tight). Beyond that, isolated fp32
+    # ReLU/softmax kink flips seed and compound ~10x/step (the
+    # long-horizon test's measured physics; WHERE they seed shifts with
+    # allocator/alignment state, so the drift is also test-order
+    # dependent) — the rest of the curve gets the long-horizon-class
+    # budget.
+    np.testing.assert_allclose(our_step_losses[:2], ref_step_losses[:2],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(our_step_losses, ref_step_losses,
+                               rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(our_ep_losses, ref_ep_losses,
+                               rtol=1e-2, atol=1e-3)
+
+    # smallest-loss checkpoint POLICY parity (:448-467): BestKeeper(min)
+    # must make exactly the reference's decisions on the same loss
+    # sequence (raw epoch-set equality across frameworks would flake on
+    # near-tie epochs within the fp32 drift budget)
+    def ref_smallest_policy(losses):
+        saves, smallest = [], float("inf")
+        for e, loss in enumerate(losses):
+            if loss < smallest:  # :458
+                smallest = loss
+                saves.append(e)
+        return saves
+
+    assert our_saves == ref_smallest_policy(our_ep_losses)
+    assert ref_saves == ref_smallest_policy(ref_ep_losses)
+    # final towers track the reference trajectory (8 steps). atol 1e-2:
+    # isolated kink-flipped elements reach ~6e-3 (measured, 1/1024 of a
+    # projector weight) — single-element fp32 noise, not semantics;
+    # semantic errors show up at >=1e-1 across whole leaves
+    _assert_params_close(state["base"],
+                         _moco_tower_to_params(model.base_encoder, TINY),
+                         rtol=2e-2, atol=1e-2)
+    _assert_params_close(
+        state["momentum"],
+        _moco_tower_to_params(model.momentum_encoder, TINY),
+        rtol=2e-2, atol=1e-2)

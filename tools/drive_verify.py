@@ -80,10 +80,12 @@ for _ in range(5):
 print(f"loss {l0:.4f} -> {float(loss):.4f}")
 assert float(loss) < l0
 
-# --- fusion train step (LP-style: heads + fusion trainable)
+# --- fusion train step (LP protocol: ONLY the fusion head trains — the
+# reference's effective optimizer set, cli/fuse.fusion_trainable_mask)
+from mfvit_tpu.cli.fuse import fusion_trainable_mask
+
 fparams = {"cxr": vp_c, "enh": vp_e, "fus": fp}
-mask = {"cxr": optim.head_only_mask(vp_c), "enh": optim.head_only_mask(vp_e),
-        "fus": jax.tree.map(lambda _: True, fp)}
+mask = fusion_trainable_mask(fparams)
 tx2 = optim.build_optimizer("adam", 1e-4, trainable_mask=mask)
 ftrain, feval = steps.make_fusion_steps(cfg, tx2)
 fstate = tx2.init(fparams)
