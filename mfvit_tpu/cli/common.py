@@ -544,7 +544,43 @@ def make_covid_loader(args, manifest_path: str, folder: str, *,
                                 num_workers=args.workers)
 
 
-def setup_mesh(args, *, multihost_ok: bool = False):
+def add_dist_args(p: argparse.ArgumentParser) -> None:
+    """Multi-host rendezvous flags (the reference's --dist-url/
+    --world-size/--rank DDP launch, pretrain main :99-110): start the
+    SAME command on every host with its own --dist-process-id. Shared by
+    all three training entry points since round 5 — the reference's
+    finetune/fusion mains are single-GPU (finetune :94-110 commented
+    out), so multi-host LP/FT/fusion exceeds the reference the same way
+    the GPT-fusion CLI does."""
+    p.add_argument("--dist-coordinator", default=None, type=str,
+                   help="coordinator address host:port (omit on Cloud TPU "
+                        "pods for auto-detection)")
+    p.add_argument("--dist-num-processes", default=None, type=int)
+    p.add_argument("--dist-process-id", default=None, type=int)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (implied by "
+                        "--dist-coordinator)")
+
+
+def maybe_init_distributed(args) -> bool:
+    """Initialize ``jax.distributed`` when ANY rendezvous flag is set —
+    a coordinator-auto-detected launch passing only
+    --dist-num-processes/--dist-process-id must not degrade into N
+    independent duplicate single-process runs. Returns True when the
+    rendezvous ran."""
+    if not (args.distributed or args.dist_coordinator is not None
+            or args.dist_num_processes is not None
+            or args.dist_process_id is not None):
+        return False
+    from mfvit_tpu.parallel import mesh as pmesh
+    pmesh.init_distributed(args.dist_coordinator,
+                           num_processes=args.dist_num_processes,
+                           process_id=args.dist_process_id)
+    primary_process_prints_only()
+    return True
+
+
+def setup_mesh(args):
     """Build the data mesh for a CLI run (--mesh-devices, default all).
 
     Returns (mesh, n_devices). With n > 1 the caller replicates params /
@@ -553,20 +589,15 @@ def setup_mesh(args, *, multihost_ok: bool = False):
 
     Multi-process (multi-host) runs — every process launched with
     ``jax.distributed`` initialized, the reference's multi-node DDP
-    regime (pretrain main :99-110) — must span ALL global devices;
-    only entry points that pass ``multihost_ok`` support it (pretrain,
-    matching the reference: its finetune/fusion mains are single-GPU,
-    SURVEY §2.6)."""
+    regime (pretrain main :99-110) — must span ALL global devices. All
+    training entry points support it (round 5; the loader process
+    slicing, global-array assembly and collective checkpoints are
+    shared plumbing)."""
     import jax as _jax
 
     from mfvit_tpu.parallel import mesh as pmesh
     nproc = _jax.process_count()
     if nproc > 1:
-        if not multihost_ok:
-            raise SystemExit(
-                "multi-process execution is pretrain-only (the reference "
-                "finetune/fusion mains are single-GPU — SURVEY §2.6); run "
-                "this entry point single-process")
         n = len(_jax.devices())
         if args.mesh_devices not in (None, n):
             raise SystemExit(
@@ -630,24 +661,50 @@ def make_eval_runner(args, img_types, forward, *, mesh=None, n_dev: int = 1):
     the last, which is labels). ``forward(*imgs) -> logits``. With a
     multi-device mesh the eval batches are sharded over 'data' like the
     training batches (otherwise GSPMD replicates the forward on every
-    device and eval gets no speedup)."""
+    device and eval gets no speedup).
+
+    On a multi-PROCESS mesh each host's loader yields only its local row
+    block (BatchLoader process slicing); the global batch is assembled
+    with put_local_rows, and logits + labels are process_allgather'd back
+    so every host computes the SAME epoch metrics — required for the
+    best-val decisions that gate COLLECTIVE checkpoint saves (a
+    divergent decision would deadlock the orbax collective)."""
     from mfvit_tpu.data import device_aug
+    from mfvit_tpu.parallel.hostput import put_local_rows
     from mfvit_tpu.train.evaluator import Evaluator
 
     dt = compute_dtype(args)
+    shard = batch_sharding(mesh, n_dev)
+    multiproc = (shard is not None
+                 and not shard.is_fully_addressable)
 
     def batch_forward(batch):
         *imgs, labels = batch
         xs = []
         for img, flavor in zip(imgs, img_types):
-            x = maybe_shard(jnp.asarray(img), mesh, n_dev)
+            if multiproc:
+                x = put_local_rows(np.asarray(img), shard)
+            else:
+                x = maybe_shard(jnp.asarray(img), mesh, n_dev)
             if args.aug_device:
                 xs.append(device_aug.augment_batch(
                     jax.random.PRNGKey(0), x,
                     img_type=flavor, training=False, out_dtype=dt))
             else:
                 xs.append(x.astype(dt))
-        return forward(*xs), labels
+        logits = forward(*xs)
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            from mfvit_tpu.parallel import mesh as pmesh
+            # replicate on-device (ICI all-gather): a fully-replicated
+            # global array is host-readable everywhere, unlike the
+            # batch-sharded forward output
+            logits = jax.jit(lambda t: t,
+                             out_shardings=pmesh.replicated(mesh))(logits)
+            labels = multihost_utils.process_allgather(
+                np.asarray(labels), tiled=True)
+        return logits, labels
 
     return Evaluator(batch_forward, metric_names=["auc", "acc"])
 

@@ -46,6 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--folder", default="data",
                    help="image flavor folder (data | Train_Mix)")
     p.add_argument("--num-classes", type=int, default=3)
+    common.add_dist_args(p)
     p.set_defaults(epochs=90, lr=3.0, batch_size=16)
     return p
 
@@ -271,6 +272,7 @@ def train_one_draw_fn(args, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.maybe_init_distributed(args)
     if args.resume:
         # matching the reference: its finetune resume path is fully
         # commented out and unreachable (finetune :400-429) — reject
@@ -289,7 +291,10 @@ def main(argv=None):
     results = harness.run_draws(folder, ratios,
                                 train_one_draw_fn(args, cfg),
                                 iterations=iterations)
-    # lr.jpg schedule curve (reference finetune :632-633)
+    # lr.jpg schedule curve (reference finetune :632-633); single-writer
+    # on multi-process runs like every other artifact
+    if not storage.is_primary():
+        return results
     try:
         import matplotlib
         matplotlib.use("Agg")

@@ -150,8 +150,13 @@ def main(argv=None):
             pending = o
         np.asarray(pending)
         out["pairs_per_sec"] = bsz * iters / (time.perf_counter() - t0)
-    with open(args.output, "w") as f:
-        json.dump(out, f)
+    from mfvit_tpu.exp import storage
+    if storage.is_primary():
+        # single-writer on multi-process runs (every process computes the
+        # same gathered logits; racing writes of identical content would
+        # still interleave)
+        with open(args.output, "w") as f:
+            json.dump(out, f)
     print(json.dumps({k: v for k, v in out.items()
                       if k not in ("predictions", "logits")}))
     return out

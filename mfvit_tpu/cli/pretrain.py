@@ -69,18 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "and loads them via the builder's `pretrained` — "
                         "pretrain main :52-62, builder.py:37-44); resnet "
                         "archs only")
-    # multi-host launch (the reference's tcp:// DDP rendezvous flags
-    # --dist-url/--world-size/--rank, pretrain main :99-110): start the
-    # SAME command on every host with its own --dist-process-id; on
-    # Cloud TPU pods omit all three (auto-discovery)
-    p.add_argument("--dist-coordinator", default=None, type=str,
-                   help="coordinator address host:port for multi-host "
-                        "runs (omit on Cloud TPU pods: auto-discovered)")
-    p.add_argument("--dist-num-processes", default=None, type=int)
-    p.add_argument("--dist-process-id", default=None, type=int)
-    p.add_argument("--distributed", action="store_true",
-                   help="initialize jax.distributed (implied by "
-                        "--dist-coordinator)")
+    common.add_dist_args(p)
     p.add_argument("--export-torch", action="store_true",
                    help="also write a reference-layout .pth.tar (module."
                         "base_encoder.* + projector head) consumable by "
@@ -141,7 +130,7 @@ def train_one_draw_fn(args, vit_cfg):
         host_transformed = byol or cross_modal or not args.aug_device
         steps_per_epoch = max(len(tl), 1)
 
-        mesh, n_dev = common.setup_mesh(args, multihost_ok=True)
+        mesh, n_dev = common.setup_mesh(args)
         if cfg.loss == "v2_queue" and cfg.K % args.batch_size != 0:
             # not assert: the queue invariant must survive python -O
             raise ValueError(
@@ -331,16 +320,7 @@ def train_one_draw_fn(args, vit_cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if (args.distributed or args.dist_coordinator is not None
-            or args.dist_num_processes is not None
-            or args.dist_process_id is not None):
-        # ANY rendezvous flag triggers init — a coordinator-auto-detected
-        # launch passing only --dist-num-processes/--dist-process-id must
-        # not degrade into N independent duplicate single-process runs
-        pmesh.init_distributed(args.dist_coordinator,
-                               num_processes=args.dist_num_processes,
-                               process_id=args.dist_process_id)
-        common.primary_process_prints_only()
+    common.maybe_init_distributed(args)
     vit_cfg = common.get_arch(args)
     if args.export_torch and (getattr(vit_cfg, "conv_stem", False)
                               or not getattr(vit_cfg, "qkv_bias", True)
