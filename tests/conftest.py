@@ -9,6 +9,18 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compilation cache: deep CPU graphs (resnets, the MoCo
+# step) take 10-30s to compile and the suite re-compiles them in every
+# process — including the 2-process dist workers, which inherit these env
+# vars through _spawn_dist_workers. Measured 28s -> 13s on the resnet
+# shape test alone; the cache is keyed by program+options so it is
+# correctness-neutral. Survives across suite runs (suite-time budget,
+# VERDICT r4 #7).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/mfvit_jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 import jax  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) force-selects jax_platforms="axon,cpu"
