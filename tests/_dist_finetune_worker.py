@@ -41,6 +41,26 @@ def main():
                      f"acc={r.test_acc:.17g}\n")
     sys.stdout.flush()
 
+    # fuse leg on the same 2-process runtime (already rendezvoused):
+    # exercises the PAIRED multi-process eval — two image fields per
+    # batch assembled with put_local_rows, replicated logits — and the
+    # fusion-only optimizer mask under a cross-process mesh
+    from mfvit_tpu.cli import fuse
+    fresults = fuse.main([
+        "-a", "vit_test", "--img-size", "32", "--crop", "32",
+        "--maintain-ratio", "--compute-dtype", "float32",
+        "--attn-backend", "xla", "-j", "2", "--seed", "0",
+        "--covid-ds", os.path.join(root, "create_covid_dataset"),
+        "--storage-root", os.path.join(root, "exp_dist_fuse"),
+        "--exp-name", "distfuse",
+        "-b", "8", "--epochs", "1", "--cos", "--lr", "0.01",
+        "--optimizer", "sgd", "--fusion-heads", "2",
+        "--semi-ratios", "1"])
+    fr = fresults[0]
+    sys.stdout.write(f"DIST FUSE OK {pid} auc={fr.test_auc:.17g} "
+                     f"acc={fr.test_acc:.17g}\n")
+    sys.stdout.flush()
+
 
 if __name__ == "__main__":
     main()

@@ -486,16 +486,19 @@ def test_multihost_finetune_cli_matches_single_process(tmp_path):
     data_root = tmp_path / "images"
     man_root = tmp_path / "create_covid_dataset"
     os.makedirs(man_root)
-    os.makedirs(data_root / "data")
+    # both flavors: the worker's fuse leg pairs data + Train_Mix
+    for folder in ("data", "Train_Mix"):
+        os.makedirs(data_root / folder)
     rng = np.random.default_rng(0)
     names, labels = [], []
     for i in range(24):
         fn = f"img_{i}.png"
         label = i % 3
-        img = rng.integers(0, 255, (64, 72, 3), np.uint8)
-        # class-correlated signal so val AUC moves across epochs
-        img[:, :, 0] = np.clip(img[:, :, 0] * 0.2 + label * 80, 0, 255)
-        cv2.imwrite(str(data_root / "data" / fn), img)
+        for folder in ("data", "Train_Mix"):
+            img = rng.integers(0, 255, (64, 72, 3), np.uint8)
+            # class-correlated signal so val AUC moves across epochs
+            img[:, :, 0] = np.clip(img[:, :, 0] * 0.2 + label * 80, 0, 255)
+            cv2.imwrite(str(data_root / folder / fn), img)
         names.append(fn)
         labels.append(label)
     mf.write_covid_manifest(str(man_root / "1_labeled_train_0.txt"),
@@ -507,16 +510,23 @@ def test_multihost_finetune_cli_matches_single_process(tmp_path):
 
     procs, outs = _spawn_dist_workers("_dist_finetune_worker.py",
                                       [str(tmp_path)], timeout=420)
-    results = []
+    results, fuse_results = [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         line = next(ln for ln in out.splitlines()
                     if f"DIST FT OK {i}" in ln)
         results.append((float(line.split("auc=")[1].split()[0]),
                         float(line.split("acc=")[1])))
+        fline = next(ln for ln in out.splitlines()
+                     if f"DIST FUSE OK {i}" in ln)
+        fuse_results.append((float(fline.split("auc=")[1].split()[0]),
+                             float(fline.split("acc=")[1])))
     # both hosts computed the SAME gathered eval metrics and made the
-    # same checkpoint decisions
+    # same checkpoint decisions — for the finetune run AND the fuse run
+    # (whose eval assembles TWO image fields per batch)
     assert results[0] == results[1]
+    assert fuse_results[0] == fuse_results[1]
+    assert all(np.isfinite(v) for v in fuse_results[0])
 
     # the same command single-process on an equal 4-device mesh
     from mfvit_tpu.cli import finetune
