@@ -330,6 +330,15 @@ def params_to_torch_vit(params: Params, cfg) -> Dict[str, np.ndarray]:
     }
     if cfg.learned_pos and "pos" in params:
         sd["pos_embed"] = a(params["pos"])
+    else:
+        # MoCo-v3's vits.py registers the FIXED sincos table as an
+        # nn.Parameter(requires_grad=False), so it lives in the torch
+        # state_dict — and the reference finetune surgery asserts
+        # missing_keys == {head.weight, head.bias} after its
+        # strict=False load (finetune :336-337). An export without
+        # pos_embed would fail that assert on a real vits model.
+        from mfvit_tpu.nn import posembed
+        sd["pos_embed"] = a(posembed.sincos_2d(cfg.grid, cfg.grid, D))
     for i, blk in enumerate(params["blocks"]):
         b = f"blocks.{i}."
         sd[b + "norm1.weight"] = a(blk["norm1"]["scale"])

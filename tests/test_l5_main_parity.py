@@ -54,6 +54,8 @@ from test_torch_parity import (  # noqa: E402  (shared parity fixtures)
 from mfvit_tpu.cli import fuse as fuse_cli
 from mfvit_tpu.exp import checkpoint as ckpt
 from mfvit_tpu.exp import harness
+from mfvit_tpu.nn import posembed
+from mfvit_tpu.nn import vit as vit_mod
 from mfvit_tpu.ssl import moco as moco_mod
 from mfvit_tpu.train import metrics as metrics_mod
 from mfvit_tpu.train import optim, steps
@@ -773,3 +775,122 @@ def test_pretrain_main_train_parity(ref_mains, cuda_stubbed, tmp_path):
         state["momentum"],
         _moco_tower_to_params(model.momentum_encoder, TINY),
         rtol=2e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------
+# the reference --pretrained surgery, executed verbatim on OUR export
+# ---------------------------------------------------------------------
+
+class _VitsAttn(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, C = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, C // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        a = ((q @ k.transpose(-2, -1)) * (C // self.heads) ** -0.5)
+        return self.proj(
+            (a.softmax(-1) @ v).transpose(1, 2).reshape(B, N, C))
+
+
+class _VitsBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _VitsAttn(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp.fc2(
+            torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+
+
+class _VitsNamedViT(nn.Module):
+    """State-dict layout == MoCo-v3 vits.py: ``patch_embed.proj``,
+    ``cls_token``, ``pos_embed`` as a FROZEN nn.Parameter (so it lives in
+    the state_dict, like build_2d_sincos_position_embedding's output),
+    ``blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}``,
+    ``norm``, ``head`` — lets the reference finetune surgery's
+    strict=False load + missing_keys assert run with torch's own
+    semantics against our exports."""
+
+    def __init__(self, cfg, num_classes=3):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, cfg.dim, cfg.patch,
+                                          stride=cfg.patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, cfg.dim))
+        pe = torch.tensor(
+            np.asarray(posembed.sincos_2d(cfg.grid, cfg.grid, cfg.dim)))
+        self.pos_embed = nn.Parameter(pe, requires_grad=False)
+        self.blocks = nn.ModuleList(
+            [_VitsBlock(cfg.dim, cfg.heads) for _ in range(cfg.depth)])
+        self.norm = nn.LayerNorm(cfg.dim, eps=1e-6)
+        self.head = nn.Linear(cfg.dim, num_classes)
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], 1)
+        x = x + self.pos_embed
+        for b in self.blocks:
+            x = b(x)
+        return self.head(self.norm(x)[:, 0])
+
+
+def test_reference_surgery_verbatim_on_our_export(tmp_path):
+    """A TPU MoCo pretrain exported by save_moco_torch_checkpoint,
+    consumed by the reference finetune --pretrained surgery TRANSCRIBED
+    LINE-FOR-LINE (finetune :326-337) into a torch model with the real
+    vits.py state-dict layout: torch's strict=False load must leave
+    exactly {head.weight, head.bias} missing — the assert the reference
+    itself runs (:337); requires the export to carry the frozen sincos
+    pos_embed parameter. The surgered torch model's logits then equal
+    our jax forward from the same MoCo state."""
+    mcfg = moco_mod.MoCoConfig(dim=8, mlp_dim=16, K=16, T=0.2,
+                               stop_grad_conv1=False)
+    state = moco_mod.init(jax.random.PRNGKey(11), mcfg, TINY)
+    path = str(tmp_path / "tpu_moco.pth.tar")
+    ckpt.save_moco_torch_checkpoint(path, state, TINY, epoch=3)
+
+    model = _VitsNamedViT(TINY, num_classes=3)
+    linear_keyword = "head"
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    # ---- the surgery, transcribed verbatim from finetune :326-337
+    state_dict = checkpoint["state_dict"]
+    for k in list(state_dict.keys()):
+        # retain only base_encoder up to before the embedding layer
+        if (k.startswith("module.base_encoder") and not k.startswith(
+                "module.base_encoder.%s" % linear_keyword)):
+            state_dict[k[len("module.base_encoder."):]] = state_dict[k]
+        del state_dict[k]
+    msg = model.load_state_dict(state_dict, strict=False)
+    assert set(msg.missing_keys) == {"%s.weight" % linear_keyword,
+                                     "%s.bias" % linear_keyword}
+    assert not msg.unexpected_keys
+
+    # same fresh head on both sides -> full logits equality
+    model.head.weight.data.normal_(mean=0.0, std=0.01)
+    model.head.bias.data.zero_()
+    jparams = dict(ckpt.load_moco_pretrained_backbone(path, TINY))
+    jparams["head"] = {
+        "w": jnp.asarray(model.head.weight.detach().numpy().T),
+        "b": jnp.asarray(model.head.bias.detach().numpy()),
+    }
+    img = np.random.default_rng(12).normal(
+        size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = model.eval()(
+            torch.tensor(img).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(vit_mod.apply(jparams, jnp.asarray(img), TINY,
+                                    compute_dtype=jnp.float32,
+                                    attn_backend="xla"))
+    np.testing.assert_allclose(ours, ref_logits, rtol=1e-4, atol=1e-5)
