@@ -81,6 +81,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-canvas-cache", dest="canvas_cache",
                    action="store_false", default=True,
                    help="disable the host decode+resize cache")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer blocks in the backward "
+                        "(jax.checkpoint): ~1/3 more block FLOPs for "
+                        "O(1)-in-depth activation HBM — the lever for "
+                        "deep/large-batch configs (docs/PERF.md)")
     p.add_argument("--device-store-mb", type=int, default=2048,
                    help="total HBM budget shared by all device-resident "
                         "canvas stores of a run (train + val + test); "

@@ -150,7 +150,7 @@ def train_one_draw_fn(args, cfg):
                                    trainable_mask=mask)
         train_step, eval_step = steps.make_classifier_steps(
             cfg, tx, compute_dtype=common.compute_dtype(args),
-            attn_backend=args.attn_backend)
+            attn_backend=args.attn_backend, remat=args.remat)
         single_dev_store = store is not None and store.mesh is None
         if single_dev_store:
             # single-dispatch store path: gather + crop + aug + train

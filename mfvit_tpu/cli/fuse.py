@@ -193,7 +193,8 @@ def train_one_draw_fn(args, cfg):
             freeze_backbones=not args.semi_supervised,
             compute_dtype=common.compute_dtype(args),
             attn_backend=args.attn_backend,
-            fusion_arch=args.fusion_arch, gpt_cfg=gpt_cfg)
+            fusion_arch=args.fusion_arch, gpt_cfg=gpt_cfg,
+            remat=args.remat)
         single_dev_store = store is not None and store.mesh is None
         if single_dev_store:
             # single-dispatch store path: gather both flavors + crop +

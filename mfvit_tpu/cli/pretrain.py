@@ -170,7 +170,8 @@ def train_one_draw_fn(args, vit_cfg):
         if n_dev > 1:
             step = pmesh.make_moco_parallel_step(
                 cfg, vit_cfg, tx, mesh,
-                compute_dtype=common.compute_dtype(args))
+                compute_dtype=common.compute_dtype(args),
+                remat=args.remat)
             state = pmesh.replicate(state, mesh)
             opt_state = pmesh.replicate(opt_state, mesh)
         elif store is not None:
@@ -178,7 +179,8 @@ def train_one_draw_fn(args, vit_cfg):
             # MoCo step in ONE jitted program per iteration (per-step RPC
             # latency dominates remote-dispatch hosts; one call hides it)
             base_step = moco.make_pretrain_step(
-                cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args))
+                cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args),
+                remat=args.remat)
             s_img_type = "4ch" if fourch else args.folder
 
             def store_step(state, opt_state, table, idx, key, m):
@@ -193,8 +195,9 @@ def train_one_draw_fn(args, vit_cfg):
             step = jax.jit(store_step, donate_argnums=(0, 1))
         else:
             step = jax.jit(moco.make_pretrain_step(
-                cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args)),
-                donate_argnums=(0, 1))
+                cfg, vit_cfg, tx,
+                compute_dtype=common.compute_dtype(args),
+                remat=args.remat), donate_argnums=(0, 1))
 
         # resume: restores state + optimizer + epoch (the reference restores
         # epoch/model/optimizer/scaler — pretrain main :356-372)

@@ -152,7 +152,7 @@ def fused_forward(vit_params_cxr: Params, vit_params_enh: Params,
                   fusion_params: Params, img_cxr: jnp.ndarray,
                   img_enh: jnp.ndarray, cfg: vit_mod.ViTConfig, *,
                   heads: int = 3, compute_dtype=jnp.bfloat16,
-                  attn_backend: str | None = None):
+                  attn_backend: str | None = None, remat: bool = False):
     """The full MF-ViT CA forward: one pass per ViT branch producing both
     tokens and branch logits, then cross-attention fusion.
 
@@ -161,10 +161,10 @@ def fused_forward(vit_params_cxr: Params, vit_params_enh: Params,
     """
     cxr_tokens, logits_cxr = vit_mod.apply(
         vit_params_cxr, img_cxr, cfg, compute_dtype=compute_dtype,
-        attn_backend=attn_backend, return_features=True)
+        attn_backend=attn_backend, return_features=True, remat=remat)
     enh_tokens, logits_enh = vit_mod.apply(
         vit_params_enh, img_enh, cfg, compute_dtype=compute_dtype,
-        attn_backend=attn_backend, return_features=True)
+        attn_backend=attn_backend, return_features=True, remat=remat)
     fused = apply(fusion_params, cxr_tokens, enh_tokens, heads,
                   attn_backend=attn_backend)
     return fused, logits_cxr, logits_enh

@@ -236,7 +236,8 @@ def _conv_stem(p: Params, imgs: jnp.ndarray, *, training: bool = False,
 def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
           compute_dtype=jnp.bfloat16, attn_backend: str | None = None,
           stop_grad_conv1: bool = False, return_features: bool = False,
-          bn_training: bool = False, bn_axis_name: str | None = None):
+          bn_training: bool = False, bn_axis_name: str | None = None,
+          remat: bool = False):
     """Forward pass.
 
     Returns logits (B, num_classes) fp32 if the params carry a head, else
@@ -246,6 +247,13 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     with batch statistics and appends the updated patch params as a final
     return element — MoCo threads them through its state like the resnet
     towers' BN stats.
+
+    ``remat=True`` wraps every transformer block in ``jax.checkpoint``:
+    the backward recomputes each block's forward instead of holding its
+    activations, trading ~1/3 more block FLOPs for O(1)-in-depth
+    activation memory — the standard TPU HBM lever for deep/large-batch
+    configs (measured budget in docs/PERF.md). Gradients are identical
+    math (tests/test_vit.py::test_remat_gradients_match).
     """
     B = imgs.shape[0]
     patch_p = params["patch"]
@@ -291,9 +299,9 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             # mode has no VMEM limits and keeps the standard kernel)
             pallas_path = False
             inner_backend = "xla"
-    final_ln_done = False
     last_i = len(params["blocks"]) - 1
-    for bi, blk in enumerate(params["blocks"]):
+
+    def run_block(x, blk, bi):
         if "qkv8" in blk:
             # int8 W8A8 serving path (ops/fused_int8.py): quantization
             # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16
@@ -303,12 +311,11 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
                 blk["qkv8"]["q"], blk["qkv8"]["s"], blk["qkv8"]["b"],
                 blk["proj8"]["q"], blk["proj8"]["s"], blk["proj8"]["b"],
                 cfg.heads, scale, interp)
-            x = fi8.fused_mlp_block_i8(
+            return fi8.fused_mlp_block_i8(
                 x, blk["norm2"]["scale"], blk["norm2"]["bias"],
                 blk["fc18"]["q"], blk["fc18"]["s"], blk["fc18"]["b"],
                 blk["fc28"]["q"], blk["fc28"]["s"], blk["fc28"]["b"],
                 interp)
-            continue
         if pallas_path and "wq" not in blk["qkv"]:
             # One fused kernel: LN1 + qkv GEMM + MHSA + proj + residual
             # (2.35 vs 4.31 ms for the unfused chain — docs/PERF.md).
@@ -339,7 +346,6 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
                     blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"],
                     params["norm"]["scale"], params["norm"]["bias"],
                     interp)
-                final_ln_done = True
             else:
                 # fused LN+fc1+GELU+fc2+residual kernel (120 vs 80 TF/s
                 # on v5e — docs/PERF.md)
@@ -350,6 +356,19 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
                     interp)
         else:
             x = x + mlp(blk["mlp"], layernorm(blk["norm2"], x))
+        return x
+
+    # whether the final LayerNorm folded into the last block's kernel is
+    # static in the params structure/config — compute it outside the
+    # (possibly remat-wrapped) block body
+    lb = params["blocks"][last_i] if last_i >= 0 else {}
+    final_ln_done = (last_i >= 0 and pallas_path and "qkv8" not in lb
+                     and "wq" not in lb.get("mlp", {}).get("fc1", {})
+                     and cfg.dim <= 512)
+    block_fn = (jax.checkpoint(run_block, static_argnums=(2,))
+                if remat else run_block)
+    for bi, blk in enumerate(params["blocks"]):
+        x = block_fn(x, blk, bi)
 
     tokens = x if final_ln_done else layernorm(params["norm"], x)
     cls_out = tokens[:, 0].astype(jnp.float32)

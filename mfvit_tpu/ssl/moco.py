@@ -196,7 +196,8 @@ def init(key, cfg: MoCoConfig, backbone_cfg, in_chans: int = 3) -> Params:
 def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
             backbone_cfg, *, training: bool,
             axis_name: Optional[str], compute_dtype,
-            stop_grad_conv1: bool) -> Tuple[jnp.ndarray, Params]:
+            stop_grad_conv1: bool,
+            remat: bool = False) -> Tuple[jnp.ndarray, Params]:
     if isinstance(backbone_cfg, vit_mod.ViTConfig):
         if backbone_cfg.conv_stem and training:
             # ConvStem BNs train with batch stats; the updated running
@@ -205,13 +206,13 @@ def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
                 tower["encoder"], imgs, backbone_cfg,
                 compute_dtype=compute_dtype,
                 stop_grad_conv1=stop_grad_conv1,
-                bn_training=training, bn_axis_name=axis_name)
+                bn_training=training, bn_axis_name=axis_name, remat=remat)
             new_enc = dict(tower["encoder"], patch=new_patch)
         else:
             feats = vit_mod.apply(
                 tower["encoder"], imgs, backbone_cfg,
                 compute_dtype=compute_dtype,
-                stop_grad_conv1=stop_grad_conv1)  # (B, w) fp32
+                stop_grad_conv1=stop_grad_conv1, remat=remat)  # (B, w) fp32
             new_enc = tower["encoder"]
     else:
         from mfvit_tpu.nn import resnet as resnet_mod
@@ -259,7 +260,7 @@ def _gather(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
 def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
                      m, cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, *,
                      axis_name: Optional[str] = None,
-                     compute_dtype=jnp.bfloat16):
+                     compute_dtype=jnp.bfloat16, remat: bool = False):
     """One pretraining forward with the v2 queue loss.
 
     Returns (loss, aux) where aux carries the new state pieces (EMA-updated
@@ -269,9 +270,12 @@ def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
     new_momentum = _ema_update(state["momentum"], state["base"], m)
 
     # queries: base encoder -> projector -> predictor -> normalize (:164-165)
+    # remat applies to the QUERY pass only: the key/momentum pass is
+    # under stop_gradient, so its activations are never held for a
+    # backward anyway
     zq, new_base = _encode(state["base"], im_q, cfg, vit_cfg, training=True,
                            axis_name=axis_name, compute_dtype=compute_dtype,
-                           stop_grad_conv1=cfg.stop_grad_conv1)
+                           stop_grad_conv1=cfg.stop_grad_conv1, remat=remat)
     q, new_pred = _mlp_apply(state["predictor"], zq, training=True,
                              axis_name=axis_name)
     q = _l2norm(q)
@@ -348,7 +352,7 @@ def _contrastive_v3(q: jnp.ndarray, k: jnp.ndarray, T: float,
 def forward_v3_symmetric(state: Params, x1: jnp.ndarray, x2: jnp.ndarray,
                          m, cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, *,
                          axis_name: Optional[str] = None,
-                         compute_dtype=jnp.bfloat16):
+                         compute_dtype=jnp.bfloat16, remat: bool = False):
     """MoCo-v3 symmetric objective (builder_vit.py:94-115): both views pass
     both towers; loss = ctr(q1,k2) + ctr(q2,k1). Queue unused."""
     new_momentum = _ema_update(state["momentum"], state["base"], m)
@@ -356,7 +360,7 @@ def forward_v3_symmetric(state: Params, x1: jnp.ndarray, x2: jnp.ndarray,
     def q_branch(tower, pred, imgs):
         z, nt = _encode(tower, imgs, cfg, vit_cfg, training=True,
                         axis_name=axis_name, compute_dtype=compute_dtype,
-                        stop_grad_conv1=cfg.stop_grad_conv1)
+                        stop_grad_conv1=cfg.stop_grad_conv1, remat=remat)
         out, npred = _mlp_apply(pred, z, training=True, axis_name=axis_name)
         return out, nt, npred
 
@@ -391,7 +395,7 @@ def forward(state, im_q, im_k, m, cfg: MoCoConfig,
 
 def make_pretrain_step(cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, tx, *,
                        axis_name: Optional[str] = None,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, remat: bool = False):
     """Build the jitted MoCo pretraining step.
 
     Gradients flow to the base tower + predictor only; the momentum tower,
@@ -403,7 +407,8 @@ def make_pretrain_step(cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, tx, *,
         st = dict(state, base=grad_params["base"],
                   predictor=grad_params["predictor"])
         loss, aux = forward(st, im_q, im_k, m, cfg, vit_cfg,
-                            axis_name=axis_name, compute_dtype=compute_dtype)
+                            axis_name=axis_name, compute_dtype=compute_dtype,
+                            remat=remat)
         return loss, aux
 
     def step(state, opt_state, im_q, im_k, m):

@@ -39,15 +39,20 @@ def make_classifier_steps(cfg: vit_mod.ViTConfig,
                           tx: optax.GradientTransformation, *,
                           compute_dtype=jnp.bfloat16,
                           attn_backend: Optional[str] = None,
-                          stop_grad_conv1: bool = False
+                          stop_grad_conv1: bool = False,
+                          remat: bool = False
                           ) -> Tuple[Callable, Callable]:
     """(train_step, eval_step) for the single-stream ViT classifier
-    (LP/FT entry point, SURVEY §3.2)."""
+    (LP/FT entry point, SURVEY §3.2). ``remat`` rematerializes the
+    transformer blocks in the backward (jax.checkpoint) — the HBM lever
+    for deep/large-batch configs; eval never differentiates so it stays
+    un-wrapped."""
 
     def loss_fn(params, imgs, labels):
         logits = vit_mod.apply(params, imgs, cfg, compute_dtype=compute_dtype,
                                attn_backend=attn_backend,
-                               stop_grad_conv1=stop_grad_conv1)
+                               stop_grad_conv1=stop_grad_conv1,
+                               remat=remat)
         return softmax_ce(logits, labels), logits
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -72,7 +77,8 @@ def make_fusion_forward(cfg: vit_mod.ViTConfig, *, heads: int = 3,
                         compute_dtype=jnp.bfloat16,
                         attn_backend: Optional[str] = None,
                         fusion_arch: str = "ca", gpt_cfg=None,
-                        frozen: bool = False) -> Callable:
+                        frozen: bool = False,
+                        remat: bool = False) -> Callable:
     """``forward(params, img_cxr, img_enh) -> (fused, logits_cxr,
     logits_enh)`` — the ONE MF-ViT forward shared by training, eval and
     serving (cli/infer.py); the decision logits are the sum of the three
@@ -104,7 +110,8 @@ def make_fusion_forward(cfg: vit_mod.ViTConfig, *, heads: int = 3,
             body = {k: v for k, v in p.items() if k != "head"}
             tokens, cls = vit_mod.apply(
                 body, img, cfg, compute_dtype=compute_dtype,
-                attn_backend=attn_backend, return_features=True)
+                attn_backend=attn_backend, return_features=True,
+                remat=remat)
             if frozen:
                 tokens = jax.lax.stop_gradient(tokens)
                 cls = jax.lax.stop_gradient(cls)
@@ -120,7 +127,7 @@ def make_fusion_forward(cfg: vit_mod.ViTConfig, *, heads: int = 3,
             return fusion_mod.fused_forward(
                 params["cxr"], params["enh"], params["fus"], img_cxr,
                 img_enh, cfg, heads=heads, compute_dtype=compute_dtype,
-                attn_backend=attn_backend)
+                attn_backend=attn_backend, remat=remat)
         return forward_generic(params, img_cxr, img_enh)
 
     return forward
@@ -132,7 +139,8 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
                       attn_backend: Optional[str] = None,
                       freeze_backbones: bool = False,
                       fusion_arch: str = "ca",
-                      gpt_cfg=None) -> Tuple[Callable, Callable]:
+                      gpt_cfg=None,
+                      remat: bool = False) -> Tuple[Callable, Callable]:
     """(train_step, eval_step) for MF-ViT CA.
 
     ``params`` is ``{"cxr": vit_params, "enh": vit_params, "fus":
@@ -159,11 +167,11 @@ def make_fusion_steps(cfg: vit_mod.ViTConfig,
     forward = make_fusion_forward(
         cfg, heads=heads, compute_dtype=compute_dtype,
         attn_backend=attn_backend, fusion_arch=fusion_arch,
-        gpt_cfg=gpt_cfg)
+        gpt_cfg=gpt_cfg, remat=remat)
     forward_frozen = make_fusion_forward(
         cfg, heads=heads, compute_dtype=compute_dtype,
         attn_backend=attn_backend, fusion_arch=fusion_arch,
-        gpt_cfg=gpt_cfg, frozen=True)
+        gpt_cfg=gpt_cfg, frozen=True, remat=remat)
 
     def loss_fn(params, img_cxr, img_enh, labels):
         fwd = forward_frozen if freeze_backbones else forward

@@ -166,3 +166,67 @@ def test_conv_stem_bn_trains_under_moco(rng):
     after_m = np.asarray(
         aux["momentum"]["encoder"]["patch"]["stem"][0]["bn"]["mean"])
     assert not np.allclose(before, after_m)
+
+
+def test_remat_gradients_match(rng):
+    """``remat=True`` (jax.checkpoint per transformer block) is pure
+    recompute: identical fp32 gradients and logits, and the jaxpr carries
+    the remat marker (the O(1)-in-depth activation-memory lever the
+    --remat CLI flag exposes; HBM numbers in docs/PERF.md)."""
+    cfg = vit.ViTConfig("t", img_size=32, patch=8, dim=32, depth=3, heads=2)
+    params = vit.init(rng, cfg, num_classes=3)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    labels = jnp.asarray([0, 1, 2, 1])
+
+    def loss(p, remat):
+        logits = vit.apply(p, imgs, cfg, compute_dtype=jnp.float32,
+                           attn_backend="xla", remat=remat)
+        logp = jax.nn.log_softmax(logits, -1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], -1))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-7)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g1),
+                               jax.tree_util.tree_leaves_with_path(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(pa))
+    # the checkpointing is actually in the graph (not silently dropped)
+    jaxpr = str(jax.make_jaxpr(lambda p: loss(p, True))(params))
+    assert "remat" in jaxpr or "checkpoint" in jaxpr
+    assert "remat" not in str(
+        jax.make_jaxpr(lambda p: loss(p, False))(params))
+
+
+def test_remat_moco_step_matches(rng):
+    """The MoCo pretrain step with remat reproduces the plain step's loss
+    and updated state (query-pass remat; the no-grad key pass is
+    unaffected)."""
+    import optax
+
+    from mfvit_tpu.ssl import moco
+
+    cfg = vit.ViTConfig("t", img_size=32, patch=16, dim=32, depth=2,
+                        heads=2)
+    mcfg = moco.MoCoConfig(dim=8, mlp_dim=16, K=16, stop_grad_conv1=False)
+    state = moco.init(rng, mcfg, cfg)
+    q = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 3))
+    k = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 32, 3))
+    tx = optax.sgd(0.01, momentum=0.9)
+    outs = []
+    for remat in (False, True):
+        st = jax.tree.map(jnp.copy, state)
+        step = moco.make_pretrain_step(mcfg, cfg, tx,
+                                       compute_dtype=jnp.float32,
+                                       remat=remat)
+        ost = tx.init({"base": st["base"], "predictor": st["predictor"]})
+        st, ost, loss = step(st, ost, q, k, 0.99)
+        outs.append((float(loss), st))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-7)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(outs[1][1]["base"]),
+            jax.tree_util.tree_leaves_with_path(outs[0][1]["base"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(pa))
