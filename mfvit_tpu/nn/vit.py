@@ -20,6 +20,7 @@ fp32 LayerNorm/softmax/logits.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, Dict
 
 import jax
@@ -299,6 +300,19 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             # mode has no VMEM limits and keeps the standard kernel)
             pallas_path = False
             inner_backend = "xla"
+    if pallas_path and not interp and cfg.dim > 512 and B >= 128:
+        # big-dim archs at per-device batch >= 128 fail TPU compile on the
+        # kernel path (measured boundary: vit_base B=64 compiles, B=128
+        # does not — docs/PERF.md "Known pre-existing limit"); downgrade
+        # to the XLA path like the VMEM gate above. The production shape
+        # (B=64/chip sharded over the mesh) keeps the kernels.
+        warnings.warn(
+            f"pallas backend with dim={cfg.dim} and per-device batch {B} "
+            "fails TPU compile; falling back to XLA attention for this "
+            "step (docs/PERF.md) — shard to <=64 images/device to use "
+            "the Pallas kernels", stacklevel=2)
+        pallas_path = False
+        inner_backend = "xla"
     last_i = len(params["blocks"]) - 1
 
     def run_block(x, blk, bi):

@@ -230,3 +230,24 @@ def test_remat_moco_step_matches(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_bigdim_large_batch_falls_back_to_xla(rng):
+    """vit_base-class dims at per-device batch >= 128 downgrade from the
+    Pallas kernels to the XLA path at trace time (the measured TPU
+    compile boundary — docs/PERF.md 'Known pre-existing limit'): the
+    B=64 trace carries pallas_call, the B=128 trace must not."""
+    import pytest
+
+    cfg = vit.get_config("vit_base")
+    params = vit.init(rng, cfg, num_classes=3)
+
+    def trace(B):
+        imgs = jax.ShapeDtypeStruct((B, 224, 224, 3), jnp.bfloat16)
+        return str(jax.make_jaxpr(
+            lambda p, im: vit.apply(p, im, cfg, attn_backend="pallas")
+        )(params, imgs))
+
+    assert "pallas_call" in trace(64)
+    with pytest.warns(UserWarning, match="falling back to XLA"):
+        assert "pallas_call" not in trace(128)
