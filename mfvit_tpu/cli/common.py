@@ -434,6 +434,17 @@ def maybe_eval_device_store(args, manifest_path: str, folder: str, *,
     from mfvit_tpu.data import device_store
     if (not args.aug_device or getattr(args, "device_store_mb", 0) <= 0):
         return None
+    if jax.process_count() > 1:
+        # each process would pin the FULL eval table (the store fills with
+        # mesh=None) and the multi-process eval runner treats every
+        # process's batch as its LOCAL row block — identical full-table
+        # batches would enter the global batch once PER PROCESS,
+        # double-counting every sample and truncating the tail at the
+        # n_total trim. The streaming eval feed slices rows per process
+        # (BatchLoader process slicing) and stays correct.
+        print("=> eval device canvas store: disabled on multi-process "
+              "meshes; streaming eval feed")
+        return None
     fill_tf = ht.CanvasTransform(img_size=args.img_size, crop=args.crop,
                                  training=False,
                                  maintain_ratio=args.maintain_ratio,
@@ -682,6 +693,12 @@ def make_eval_runner(args, img_types, forward, *, mesh=None, n_dev: int = 1):
     shard = batch_sharding(mesh, n_dev)
     multiproc = (shard is not None
                  and not shard.is_fully_addressable)
+    if multiproc:
+        from mfvit_tpu.parallel import mesh as pmesh
+        # built ONCE: jit caches on the function object, so constructing
+        # the lambda per batch would re-trace the all-gather every batch
+        replicate_out = jax.jit(lambda t: t,
+                                out_shardings=pmesh.replicated(mesh))
 
     def batch_forward(batch):
         *imgs, labels = batch
@@ -701,12 +718,10 @@ def make_eval_runner(args, img_types, forward, *, mesh=None, n_dev: int = 1):
         if multiproc:
             from jax.experimental import multihost_utils
 
-            from mfvit_tpu.parallel import mesh as pmesh
             # replicate on-device (ICI all-gather): a fully-replicated
             # global array is host-readable everywhere, unlike the
             # batch-sharded forward output
-            logits = jax.jit(lambda t: t,
-                             out_shardings=pmesh.replicated(mesh))(logits)
+            logits = replicate_out(logits)
             labels = multihost_utils.process_allgather(
                 np.asarray(labels), tiled=True)
         return logits, labels

@@ -20,6 +20,7 @@ fp32 LayerNorm/softmax/logits.
 from __future__ import annotations
 
 import dataclasses
+import os
 import warnings
 from typing import Any, Dict
 
@@ -300,17 +301,25 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             # mode has no VMEM limits and keeps the standard kernel)
             pallas_path = False
             inner_backend = "xla"
-    if pallas_path and not interp and cfg.dim > 512 and B >= 128:
-        # big-dim archs at per-device batch >= 128 fail TPU compile on the
-        # kernel path (measured boundary: vit_base B=64 compiles, B=128
-        # does not — docs/PERF.md "Known pre-existing limit"); downgrade
-        # to the XLA path like the VMEM gate above. The production shape
-        # (B=64/chip sharded over the mesh) keeps the kernels.
+    # big-dim archs at per-device batch >= 128 fail TPU compile on the
+    # kernel path (measured boundary: vit_base B=64 compiles, B=128 does
+    # not — docs/PERF.md "Known pre-existing limit"); downgrade to the XLA
+    # path like the VMEM gate above. B here is the TRACE batch: the global
+    # batch under GSPMD jit (our classifier/fusion multi-device paths
+    # shard 'data' over every device, so per-device = B / device_count) or
+    # already per-device inside shard_map (where the division
+    # under-estimates — harmless unless a shard_map leg runs >=128x
+    # device_count images per device). MFVIT_NO_ATTN_FALLBACK=1 disables
+    # the gate (tools/check_vitbase_b256_compile.py measures the raw
+    # kernel-path boundary with it).
+    per_dev_b = B // max(jax.device_count(), 1)
+    if (pallas_path and not interp and cfg.dim > 512 and per_dev_b >= 128
+            and not os.environ.get("MFVIT_NO_ATTN_FALLBACK")):
         warnings.warn(
-            f"pallas backend with dim={cfg.dim} and per-device batch {B} "
-            "fails TPU compile; falling back to XLA attention for this "
-            "step (docs/PERF.md) — shard to <=64 images/device to use "
-            "the Pallas kernels", stacklevel=2)
+            f"pallas backend with dim={cfg.dim} and per-device batch "
+            f"~{per_dev_b} fails TPU compile; falling back to XLA "
+            "attention for this step (docs/PERF.md) — shard to <=64 "
+            "images/device to use the Pallas kernels", stacklevel=2)
         pallas_path = False
         inner_backend = "xla"
     last_i = len(params["blocks"]) - 1

@@ -896,3 +896,29 @@ def test_stream_train_view_orders():
                                      out_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(want2))
     assert not np.array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_eval_device_store_disabled_multiprocess(tmp_path, monkeypatch):
+    """Eval device stores must NOT build on multi-process meshes: each
+    process would pin the FULL eval table and the multi-process eval
+    runner treats every process's batch as its local row block, so
+    identical full-table batches would enter the global batch once per
+    process — double-counting every sample and truncating the tail at
+    the Evaluator's n_total trim. The streaming eval feed process-slices
+    and stays correct."""
+    import argparse
+
+    from mfvit_tpu.cli import common
+    from mfvit_tpu.data import manifest as mf
+
+    os.makedirs(tmp_path / "imgs" / "data")
+    _write_img(str(tmp_path / "imgs" / "data" / "m0.png"), 70, 90, seed=0)
+    man = str(tmp_path / "man.txt")
+    mf.write_covid_manifest(man, str(tmp_path / "imgs"), ["m0.png"], [0])
+    args = argparse.Namespace(
+        batch_size=2, img_size=32, crop=24, maintain_ratio=False,
+        aug_device=True, workers=1, rotate=0.0,
+        canvas_cache=False, canvas_cache_mb=0, device_store_mb=64)
+    assert common.maybe_eval_device_store(args, man, "data") is not None
+    monkeypatch.setattr(common.jax, "process_count", lambda: 2)
+    assert common.maybe_eval_device_store(args, man, "data") is None

@@ -232,11 +232,14 @@ def test_remat_moco_step_matches(rng):
                                    err_msg=jax.tree_util.keystr(pa))
 
 
-def test_bigdim_large_batch_falls_back_to_xla(rng):
+def test_bigdim_large_batch_falls_back_to_xla(rng, monkeypatch):
     """vit_base-class dims at per-device batch >= 128 downgrade from the
     Pallas kernels to the XLA path at trace time (the measured TPU
-    compile boundary — docs/PERF.md 'Known pre-existing limit'): the
-    B=64 trace carries pallas_call, the B=128 trace must not."""
+    compile boundary — docs/PERF.md 'Known pre-existing limit'): on one
+    device the B=64 trace carries pallas_call and the B=128 trace must
+    not; the production GSPMD shape (global B sharded to 64/device over
+    the whole mesh) keeps the kernels; MFVIT_NO_ATTN_FALLBACK=1 disables
+    the gate for raw boundary measurement."""
     import pytest
 
     cfg = vit.get_config("vit_base")
@@ -248,6 +251,16 @@ def test_bigdim_large_batch_falls_back_to_xla(rng):
             lambda p, im: vit.apply(p, im, cfg, attn_backend="pallas")
         )(params, imgs))
 
+    monkeypatch.setattr(vit.jax, "device_count", lambda: 1)
     assert "pallas_call" in trace(64)
     with pytest.warns(UserWarning, match="falling back to XLA"):
         assert "pallas_call" not in trace(128)
+    monkeypatch.setenv("MFVIT_NO_ATTN_FALLBACK", "1")
+    assert "pallas_call" in trace(128)
+    monkeypatch.delenv("MFVIT_NO_ATTN_FALLBACK")
+
+    # production multi-chip shape: global B=512 over 8 devices = 64/chip
+    monkeypatch.setattr(vit.jax, "device_count", lambda: 8)
+    assert "pallas_call" in trace(512)
+    with pytest.warns(UserWarning, match="falling back to XLA"):
+        assert "pallas_call" not in trace(1024)

@@ -1,6 +1,11 @@
 """Measure --remat (jax.checkpoint per block): activation-HBM vs step
 throughput on the real chip. vit_base classifier train step; compiled
-memory from XLA's own analysis (temp = activations + workspace)."""
+memory from XLA's own analysis (temp = activations + workspace).
+
+Measures the DEFAULT backend path a user gets: big-dim archs at
+per-device B >= 128 auto-downgrade to XLA attention (the gate warns —
+docs/PERF.md "Known pre-existing limit"); use
+tools/check_vitbase_b256_compile.py for raw kernel-path boundaries."""
 import sys
 import time
 

@@ -8,7 +8,12 @@ XLA error is swallowed server-side), remat on or off. The remat
 refactor did NOT introduce it: the remat=False jaxpr hashes identically
 at HEAD and at the refactor (see PERF.md). The XLA backend compiles all
 of these shapes — it is the documented fallback for vit_base at B>=128
-on one chip (the production shape shards B=64/chip over the mesh)."""
+on one chip (the production shape shards B=64/chip over the mesh).
+
+vit.apply now auto-downgrades those shapes to XLA at trace time; this
+tool measures the RAW kernel-path boundary, so it disables that gate
+(MFVIT_NO_ATTN_FALLBACK) when the pallas backend is requested."""
+import os
 import sys
 
 import jax
@@ -22,6 +27,8 @@ from mfvit_tpu.train import steps
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 backend = sys.argv[2] if len(sys.argv) > 2 else None
 remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+if backend in (None, "pallas"):
+    os.environ["MFVIT_NO_ATTN_FALLBACK"] = "1"  # measure the raw boundary
 cfg = vit.get_config("vit_base")
 params = vit.init(jax.random.PRNGKey(0), cfg, num_classes=3)
 imgs = jnp.zeros((B, cfg.img_size, cfg.img_size, 3), jnp.bfloat16)
