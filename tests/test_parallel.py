@@ -491,7 +491,7 @@ def test_multihost_finetune_cli_matches_single_process(tmp_path):
         os.makedirs(data_root / folder)
     rng = np.random.default_rng(0)
     names, labels = [], []
-    for i in range(24):
+    for i in range(34):
         fn = f"img_{i}.png"
         label = i % 3
         for folder in ("data", "Train_Mix"):
@@ -501,12 +501,17 @@ def test_multihost_finetune_cli_matches_single_process(tmp_path):
             cv2.imwrite(str(data_root / folder / fn), img)
         names.append(fn)
         labels.append(label)
+    # val/test = 9 samples at batch 8: eval spans MULTIPLE batches with a
+    # wrap-padded tail (8 + 1->padded-to-8, trimmed at n_total=9). A
+    # single-batch eval set would hide per-process sample duplication —
+    # the multi-process eval-store bug fixed in round 5 passed the old
+    # 4-sample version of this test for exactly that reason.
     mf.write_covid_manifest(str(man_root / "1_labeled_train_0.txt"),
                             str(data_root), names[:16], labels[:16])
     mf.write_covid_manifest(str(man_root / "val_ds.txt"),
-                            str(data_root), names[16:20], labels[16:20])
+                            str(data_root), names[16:25], labels[16:25])
     mf.write_covid_manifest(str(man_root / "test_ds.txt"),
-                            str(data_root), names[20:], labels[20:])
+                            str(data_root), names[25:34], labels[25:34])
 
     procs, outs = _spawn_dist_workers("_dist_finetune_worker.py",
                                       [str(tmp_path)], timeout=420)
