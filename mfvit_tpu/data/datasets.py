@@ -35,6 +35,12 @@ from mfvit_tpu.data.manifest import (parse_chexpert, parse_covid,
 
 Transform = Callable[[np.ndarray], np.ndarray]
 
+# context salt separating dataset-level mix/branch decisions from the
+# transforms' augmentation streams (which use (epoch, idx[, view<=1])):
+# the same (seed, ctx) hash MUST never feed both, or the first transform
+# draw is bit-identical to the already-conditioned mix draw
+_MIX_SALT = 0x6D6978  # "mix"
+
 
 def _apply_tf(tf: Transform, img: np.ndarray, ctx):
     """Apply a transform, forwarding the per-sample determinism context
@@ -200,7 +206,12 @@ class CovidEnhCxrDataset(_EpochMixin):
 
     def __getitem__(self, idx: int):
         ctx = (self._epoch, idx)
-        r = ht._rng_for(self.seed, self._rng, ctx)
+        # salt the mix-decision stream (_MIX_SALT): an unsalted
+        # (epoch, idx) context is the SAME Random the q-transform derives,
+        # so the transform's first draw (hflip) would be bit-identical to
+        # the already-conditioned mix draw — e.g. at per_enh=0.5 the CXR
+        # query branch would never flip
+        r = ht._rng_for(self.seed, self._rng, ctx + (_MIX_SALT,))
         cxr = self.decode(self.manifest.paths[idx])
         if self.per_enh >= 1.0 or r.random() <= self.per_enh:
             enh = self.decode(self.manifest.paths_alt[idx])
@@ -285,17 +296,18 @@ class ChexpertMixDataset(_EpochMixin):
 
     def __getitem__(self, idx: int):
         ctx = (self._epoch, idx)
-        r = ht._rng_for(self.seed, self._rng, ctx)
-        cxr = self.decode(self.m_cxr.paths[idx])
+        # salted mix-decision stream — see CovidEnhCxrDataset.__getitem__
+        r = ht._rng_for(self.seed, self._rng, ctx + (_MIX_SALT,))
         if self.mode == "norm1":
-            enh = self.decode(self.m_enh.paths[idx])
-            if r.random() <= self.per_enh:
-                cxr = enh
-            else:
-                enh = cxr
-            q = _apply_tf(self.transform_cxr, cxr, ctx)
-            k = _apply_tf(self.transform_cxr, enh, ctx + (1,))  # norm1: one normalization (:344)
+            # both views come from ONE flavor (the reference replaces the
+            # other in place, loader.py:332-411) — decode only that one
+            src = (self.m_enh if r.random() <= self.per_enh
+                   else self.m_cxr)
+            img = self.decode(src.paths[idx])
+            q = _apply_tf(self.transform_cxr, img, ctx)
+            k = _apply_tf(self.transform_cxr, img, ctx + (1,))  # norm1: one normalization (:344)
         else:
+            cxr = self.decode(self.m_cxr.paths[idx])
             if r.random() < 1.0 - self.per_enh:
                 q = _apply_tf(self.transform_cxr, cxr, ctx)
                 k = _apply_tf(self.transform_cxr, cxr, ctx + (1,))

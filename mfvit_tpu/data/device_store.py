@@ -143,9 +143,10 @@ class DeviceCanvasStore:
     def _iter_sharded(self, epoch: int):
         d, m = self.n_dev, self.n // self.n_dev
         local_bs = self.bs // d
-        # per-shard local permutation, seeded per (seed, epoch, shard)
+        # per-shard local order, seeded per (seed, epoch, shard); honors
+        # shuffle=False like iter_index_batches (deterministic replay)
         perms = [np.random.default_rng((self.seed, epoch, k)).permutation(m)
-                 for k in range(d)]
+                 if self.shuffle else np.arange(m) for k in range(d)]
         steps = m // local_bs if self.drop_last else -(-m // local_bs)
         ispec = NamedSharding(self.mesh, P("data"))
         for s in range(steps):
@@ -153,7 +154,16 @@ class DeviceCanvasStore:
             for k in range(d):
                 c = perms[k][s * local_bs:(s + 1) * local_bs]
                 if len(c) < local_bs:
-                    c = np.concatenate([c, perms[k][: local_bs - len(c)]])
+                    # wrap-and-TILE (like iter_index_batches): a single
+                    # concatenate comes up short whenever the shard holds
+                    # fewer than local_bs - len(c) rows. Pads sit inside
+                    # each shard's chunk (per-shard local indexing) —
+                    # fine for the training feed this path serves; eval
+                    # stores are single-device (pads at the global tail,
+                    # trimmed by the Evaluator)
+                    need = local_bs - len(c)
+                    reps = -(-need // max(m, 1))
+                    c = np.concatenate([c, np.tile(perms[k], reps)[:need]])
                 chunks.append(c)
             # device k's slice holds LOCAL row ids into its own shard
             # (put_global: multi-process meshes get only their slices)

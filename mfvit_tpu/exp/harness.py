@@ -133,6 +133,11 @@ def verify_frozen(params, snapshot, label: str = "",
         if (exempt_head and path
                 and getattr(path[0], "key", None) == "head"):
             continue
+        if str(path) not in flat_now:
+            raise ValueError(
+                f"sanity check failed: frozen weight {label}"
+                f"{jax.tree_util.keystr(path)} is missing from the live "
+                "params (structure changed during training)")
         if not np.array_equal(np.asarray(flat_now[str(path)]),
                               np.asarray(v)):
             raise ValueError(

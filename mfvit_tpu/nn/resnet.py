@@ -162,10 +162,16 @@ def init(key, cfg: ResNetConfig, num_classes: int = 0,
 
 def apply(params: Params, x: jnp.ndarray, cfg: ResNetConfig, *,
           training: bool = False, compute_dtype=jnp.bfloat16,
-          axis_name: Optional[str] = None, return_featmap: bool = False):
+          axis_name: Optional[str] = None, return_featmap: bool = False,
+          remat: bool = False):
     """Forward. Returns ``(out, new_params)``: out is logits (with fc) /
     pooled features, or the (B, H/32, W/32, C) feature map with
-    ``return_featmap`` (the crossvit.py CNN-branch contract)."""
+    ``return_featmap`` (the crossvit.py CNN-branch contract).
+
+    ``remat=True`` wraps every residual block in ``jax.checkpoint`` —
+    the backward recomputes each block's forward instead of holding its
+    activations, the same HBM lever the ViT path exposes (identical
+    gradients; tests/test_moco.py::test_remat_resnet_moco_step_matches)."""
     new = {"stages": []}
     x = x.astype(compute_dtype)
     x = _conv(params["stem"]["conv"], x, stride=2, padding=3)
@@ -177,38 +183,43 @@ def apply(params: Params, x: jnp.ndarray, cfg: ResNetConfig, *,
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)])
 
+    def run_block(x, blk, stride):
+        nblk = dict(blk)
+        identity = x
+        if cfg.block == "basic":
+            h = _conv(blk["conv1"], x, stride)
+            h, nblk["bn1"] = _bn(blk["bn1"], h, training=training,
+                                 axis_name=axis_name)
+            h = jax.nn.relu(h)
+            h = _conv(blk["conv2"], h)
+            h, nblk["bn2"] = _bn(blk["bn2"], h, training=training,
+                                 axis_name=axis_name)
+        else:
+            h = _conv(blk["conv1"], x)
+            h, nblk["bn1"] = _bn(blk["bn1"], h, training=training,
+                                 axis_name=axis_name)
+            h = jax.nn.relu(h)
+            h = _conv(blk["conv2"], h, stride)
+            h, nblk["bn2"] = _bn(blk["bn2"], h, training=training,
+                                 axis_name=axis_name)
+            h = jax.nn.relu(h)
+            h = _conv(blk["conv3"], h)
+            h, nblk["bn3"] = _bn(blk["bn3"], h, training=training,
+                                 axis_name=axis_name)
+        if "down_conv" in blk:
+            identity = _conv(blk["down_conv"], x, stride)
+            identity, nblk["down_bn"] = _bn(
+                blk["down_bn"], identity, training=training,
+                axis_name=axis_name)
+        return jax.nn.relu(h + identity), nblk
+
+    block_fn = (jax.checkpoint(run_block, static_argnums=(2,))
+                if remat else run_block)
     for si, stage in enumerate(params["stages"]):
         nstage = []
         for bi, blk in enumerate(stage):
             stride = 2 if (si > 0 and bi == 0) else 1
-            nblk = dict(blk)
-            identity = x
-            if cfg.block == "basic":
-                h = _conv(blk["conv1"], x, stride)
-                h, nblk["bn1"] = _bn(blk["bn1"], h, training=training,
-                                     axis_name=axis_name)
-                h = jax.nn.relu(h)
-                h = _conv(blk["conv2"], h)
-                h, nblk["bn2"] = _bn(blk["bn2"], h, training=training,
-                                     axis_name=axis_name)
-            else:
-                h = _conv(blk["conv1"], x)
-                h, nblk["bn1"] = _bn(blk["bn1"], h, training=training,
-                                     axis_name=axis_name)
-                h = jax.nn.relu(h)
-                h = _conv(blk["conv2"], h, stride)
-                h, nblk["bn2"] = _bn(blk["bn2"], h, training=training,
-                                     axis_name=axis_name)
-                h = jax.nn.relu(h)
-                h = _conv(blk["conv3"], h)
-                h, nblk["bn3"] = _bn(blk["bn3"], h, training=training,
-                                     axis_name=axis_name)
-            if "down_conv" in blk:
-                identity = _conv(blk["down_conv"], x, stride)
-                identity, nblk["down_bn"] = _bn(
-                    blk["down_bn"], identity, training=training,
-                    axis_name=axis_name)
-            x = jax.nn.relu(h + identity)
+            x, nblk = block_fn(x, blk, stride)
             nstage.append(nblk)
         new["stages"].append(nstage)
 

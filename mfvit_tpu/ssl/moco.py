@@ -218,7 +218,7 @@ def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
         from mfvit_tpu.nn import resnet as resnet_mod
         feats, new_enc = resnet_mod.apply(
             tower["encoder"], imgs, backbone_cfg, training=training,
-            compute_dtype=compute_dtype, axis_name=axis_name)
+            compute_dtype=compute_dtype, axis_name=axis_name, remat=remat)
     z, new_proj = _mlp_apply(tower["projector"], feats, training=training,
                              axis_name=axis_name)
     return z, {"encoder": new_enc, "projector": new_proj}

@@ -922,3 +922,86 @@ def test_eval_device_store_disabled_multiprocess(tmp_path, monkeypatch):
     assert common.maybe_eval_device_store(args, man, "data") is not None
     monkeypatch.setattr(common.jax, "process_count", lambda: 2)
     assert common.maybe_eval_device_store(args, man, "data") is None
+
+
+def test_device_canvas_store_sharded_shuffle_false_and_small_shard_pad():
+    """Two _iter_sharded contracts: (1) shuffle=False yields deterministic
+    in-order rows per shard (it previously shuffled unconditionally);
+    (2) the final-batch wrap-pad TILES the shard like iter_index_batches,
+    so shards smaller than the pad need (m < local_bs - len(c)) still
+    fill the static batch instead of yielding a short global batch."""
+    from mfvit_tpu.data import device_store
+    from mfvit_tpu.parallel import mesh as pmesh
+
+    class _CanvasDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return (np.full((4, 4, 3), i, np.uint8), np.int32(i % 3))
+
+    m = pmesh.make_mesh(8)
+    # (1) shuffle=False: row order is the identity per shard, every epoch
+    store = device_store.fill_from_dataset(_CanvasDS(32), batch_size=16,
+                                           seed=3, mesh=m, shuffle=False)
+    for _ in range(2):
+        rows = [np.asarray(c)[:, 0, 0, 0].tolist() for c, _ in store]
+        # shard k holds rows [4k, 4k+4); each batch takes 2 in order
+        assert rows[0] == sum(([4 * k, 4 * k + 1] for k in range(8)), [])
+        assert rows[1] == sum(([4 * k + 2, 4 * k + 3] for k in range(8)), [])
+
+    # (2) small shards: n=16 over 8 devices -> m=2 rows/shard; batch 64
+    # -> local_bs=8 needs each shard tiled 4x (single-concat padding
+    # yielded 4 rows/shard and a shape error downstream)
+    store = device_store.fill_from_dataset(_CanvasDS(16), batch_size=64,
+                                           seed=0, mesh=m, shuffle=False,
+                                           drop_last=False)
+    batches = [(np.asarray(c), np.asarray(l)) for c, l in store]
+    assert len(batches) == 1
+    canv, lab = batches[0]
+    assert canv.shape == (64, 4, 4, 3)
+    np.testing.assert_array_equal(canv[:, 0, 0, 0] % 3, lab)
+    # every real row appears (4x each, tiled)
+    assert sorted(set(canv[:, 0, 0, 0].tolist())) == list(range(16))
+
+
+def test_mix_draw_decorrelated_from_transform_flip(tmp_path):
+    """The per-sample mix decision and the transform's augmentation
+    stream must come from DIFFERENT Random streams (the mix context is
+    salted): unsalted, the transform's first draw (hflip) was
+    bit-identical to the already-conditioned mix draw, so at per_enh=0.5
+    the CXR-query branch could never flip. Both branches must now show
+    flipped AND unflipped queries."""
+    from mfvit_tpu.data import datasets
+    from mfvit_tpu.data import host_transforms as ht2
+    from mfvit_tpu.data import manifest as mf
+
+    n = 64
+    names = [f"s{i}.png" for i in range(n)]
+    mf.write_covid_manifest(str(tmp_path / "m.txt"), str(tmp_path),
+                            names, [0] * n)
+    grad = np.tile(np.arange(8, dtype=np.uint8)[None, :, None] * 30,
+                   (8, 1, 3))
+
+    def decode(path):
+        # enh flavor constant, cxr flavor left-right gradient
+        return (np.full((8, 8, 3), 7, np.uint8)
+                if "Train_Mix" in path else grad.copy())
+
+    tf = ht2.ChexpertTransform(img_size=8, crop=8, training=True,
+                               maintain_ratio=False, rotate_deg=0.0,
+                               seed=0, normalize=False)
+    ds = datasets.CovidEnhCxrDataset(str(tmp_path / "m.txt"), tf, tf,
+                                     per_enh=0.5, seed=0, decode=decode)
+    flips = []
+    for i in range(n):
+        q, _, _ = ds[i]
+        if np.asarray(q).std() < 1e-6:
+            continue  # enh branch (constant image) — flip undetectable
+        col = np.asarray(q)[0, :, 0]
+        flips.append(bool(col[0] > col[-1]))
+    assert len(flips) > 10  # both branches actually occur
+    assert any(flips) and not all(flips)  # CXR queries flip ~half the time
