@@ -69,19 +69,31 @@ def load_backbone(args, cfg) -> Optional[dict]:
     return jax.tree.map(_jnp.asarray, tree)
 
 
-def evaluate(eval_step, params, loader, args, *, n_total: int,
-             mesh=None, n_dev: int = 1):
-    """Run the eval phase; returns (auc, acc, loss, logits, labels)."""
+def make_evaluate(eval_step, args, *, mesh=None, n_dev: int = 1):
+    """Build the eval runner ONCE per draw — make_eval_runner constructs
+    the multi-process all-gather jit at creation time (common.py: 'built
+    ONCE'), so rebuilding it per evaluate() call would re-trace that
+    gather on every evaluation of every epoch. Params are swapped per
+    call through a closure cell.
+
+    Returns ``evaluate(params, loader, *, n_total) ->
+    (auc, acc, loss, logits, labels)``."""
+    cell = {"params": None}
     runner = common.make_eval_runner(
-        args, [args.folder], lambda x: eval_step(params, x),
+        args, [args.folder], lambda x: eval_step(cell["params"], x),
         mesh=mesh, n_dev=n_dev)
-    res = runner.evaluate(loader, n_total=n_total)
-    logits, labels = res["logits"], res["labels"]
-    loss = float(np.mean(
-        -np.take_along_axis(
-            np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1)),
-            labels[:, None], -1)))
-    return res["auc"], res["acc"], loss, logits, labels
+
+    def evaluate(params, loader, *, n_total: int):
+        cell["params"] = params
+        res = runner.evaluate(loader, n_total=n_total)
+        logits, labels = res["logits"], res["labels"]
+        loss = float(np.mean(
+            -np.take_along_axis(
+                np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1)),
+                labels[:, None], -1)))
+        return res["auc"], res["acc"], loss, logits, labels
+
+    return evaluate
 
 
 def train_one_draw_fn(args, cfg):
@@ -175,6 +187,7 @@ def train_one_draw_fn(args, cfg):
         result = harness.DrawResult(ratio, draw)
         n_val = len(vl.ds)
         n_test = len(sl.ds)
+        evaluate = make_evaluate(eval_step, args, mesh=mesh, n_dev=n_dev)
 
         # double-buffered device feed: batches are device_put one step
         # ahead so H2D overlaps the train step (the reference's pin_memory
@@ -225,8 +238,7 @@ def train_one_draw_fn(args, cfg):
                 timer.step_done(i, args.print_freq)
             fetch.flush()
             val_auc, val_acc, val_loss, _, _ = evaluate(
-                eval_step, params, vl, args, n_total=n_val,
-                mesh=mesh, n_dev=n_dev)
+                params, vl, n_total=n_val)
             if writer is not None:
                 writer.add_scalar("train/loss", ep_loss.avg, epoch)
                 writer.add_scalar("val/auc", val_auc, epoch)
@@ -237,9 +249,8 @@ def train_one_draw_fn(args, cfg):
                   f"acc {val_acc:.4f}")
             # test on val-AUC improvement, keep best-AUC / best-ACC ckpts
             if best.update(val_auc, params):
-                t_auc, t_acc, _, _, _ = evaluate(eval_step, params, sl, args,
-                                                 n_total=n_test,
-                                                 mesh=mesh, n_dev=n_dev)
+                t_auc, t_acc, _, _, _ = evaluate(params, sl,
+                                                 n_total=n_test)
                 result.test_auc = t_auc
                 result.extra["test_acc_at_best_auc"] = t_acc
                 if writer is not None:
@@ -249,9 +260,8 @@ def train_one_draw_fn(args, cfg):
             # all_test_acc matrix comes from THIS branch (finetune
             # :581-601) — result.test_acc is the acc-branch test acc
             if best_acc.update(val_acc, params, save_last=False):
-                a_auc, a_acc, _, _, _ = evaluate(eval_step, params, sl, args,
-                                                 n_total=n_test,
-                                                 mesh=mesh, n_dev=n_dev)
+                a_auc, a_acc, _, _, _ = evaluate(params, sl,
+                                                 n_total=n_test)
                 result.test_acc = a_acc
                 result.extra["test_auc_at_best_acc"] = a_auc
                 if writer is not None:

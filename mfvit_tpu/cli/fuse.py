@@ -96,14 +96,22 @@ def load_branch(path: str, cfg, ratio, draw,
     return ckpt_mod.restore(path, like=like)
 
 
-def evaluate(eval_step, params, loader, args, *, n_total: int,
-             mesh=None, n_dev: int = 1):
+def make_evaluate(eval_step, args, *, mesh=None, n_dev: int = 1):
+    """Build the eval runner ONCE per draw (make_eval_runner constructs
+    the multi-process all-gather jit at creation; rebuilding per call
+    would re-trace it every evaluation). Params swap through a cell."""
+    cell = {"params": None}
     runner = common.make_eval_runner(
         args, ["data", "Train_Mix"],
-        lambda xc, xe: eval_step(params, xc, xe),
+        lambda xc, xe: eval_step(cell["params"], xc, xe),
         mesh=mesh, n_dev=n_dev)
-    res = runner.evaluate(loader, n_total=n_total)
-    return res["auc"], res["acc"]
+
+    def evaluate(params, loader, *, n_total: int):
+        cell["params"] = params
+        res = runner.evaluate(loader, n_total=n_total)
+        return res["auc"], res["acc"]
+
+    return evaluate
 
 
 def train_one_draw_fn(args, cfg):
@@ -219,6 +227,7 @@ def train_one_draw_fn(args, cfg):
         result = harness.DrawResult(ratio, draw)
         dt = common.compute_dtype(args)
         n_val, n_test = len(vl.ds), len(sl.ds)
+        evaluate = make_evaluate(eval_step, args, mesh=mesh, n_dev=n_dev)
 
         # double-buffered device feed (pretrain main :425-442 equivalent)
         shard = common.batch_sharding(mesh, n_dev)
@@ -271,9 +280,7 @@ def train_one_draw_fn(args, cfg):
                 fetch.push(loss, n_b, i, sync=(i == 0))
                 timer.step_done(i, args.print_freq)
             fetch.flush()
-            val_auc, val_acc = evaluate(eval_step, params, vl, args,
-                                        mesh=mesh, n_dev=n_dev,
-                                        n_total=n_val)
+            val_auc, val_acc = evaluate(params, vl, n_total=n_val)
             if writer is not None:
                 writer.add_scalar("train/loss", ep_loss.avg, epoch)
                 writer.add_scalar("val/auc", val_auc, epoch)
@@ -282,9 +289,7 @@ def train_one_draw_fn(args, cfg):
                   f"loss {ep_loss.avg:.4f} val auc {val_auc:.4f} "
                   f"acc {val_acc:.4f}")
             if best.update(val_auc, params):
-                t_auc, t_acc = evaluate(eval_step, params, sl, args,
-                                        mesh=mesh, n_dev=n_dev,
-                                        n_total=n_test)
+                t_auc, t_acc = evaluate(params, sl, n_total=n_test)
                 result.test_auc, result.test_acc = t_auc, t_acc
 
         # sanity check: the frozen branch ViTs — bodies AND heads, since

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="must match the checkpoint's fuse --fusion-arch")
     p.add_argument("--gpt-layers", type=int, default=8)
     p.add_argument("--fusion-heads", type=int, default=3)
+    # must match the checkpoint's fuse flags or restore() rejects the
+    # pytree structure (fuse.py builds the fusion tree with these)
+    p.add_argument("--cross-attn-depth", type=int, default=1)
+    p.add_argument("--multi-scale-enc-depth", type=int, default=1)
     p.add_argument("--num-classes", type=int, default=3)
     p.add_argument("--report-throughput", action="store_true")
     p.set_defaults(batch_size=256)
@@ -60,8 +64,11 @@ def main(argv=None):
             raise SystemExit("--int8 serving is wired for the CA fusion "
                              "path only")
     else:
-        fus_like = fusion_mod.init(k, num_classes=args.num_classes,
-                                   dim=cfg.dim, heads=args.fusion_heads)
+        fus_like = fusion_mod.init(
+            k, num_classes=args.num_classes, dim=cfg.dim,
+            heads=args.fusion_heads,
+            cross_attn_depth=args.cross_attn_depth,
+            multi_scale_enc_depth=args.multi_scale_enc_depth)
     like = {
         "cxr": vit_mod.init(k, cfg, num_classes=args.num_classes),
         "enh": vit_mod.init(k, cfg, num_classes=args.num_classes),

@@ -171,7 +171,7 @@ def train_one_draw_fn(args, vit_cfg):
             step = pmesh.make_moco_parallel_step(
                 cfg, vit_cfg, tx, mesh,
                 compute_dtype=common.compute_dtype(args),
-                remat=args.remat)
+                remat=args.remat, attn_backend=args.attn_backend)
             state = pmesh.replicate(state, mesh)
             opt_state = pmesh.replicate(opt_state, mesh)
         elif store is not None:
@@ -180,7 +180,7 @@ def train_one_draw_fn(args, vit_cfg):
             # latency dominates remote-dispatch hosts; one call hides it)
             base_step = moco.make_pretrain_step(
                 cfg, vit_cfg, tx, compute_dtype=common.compute_dtype(args),
-                remat=args.remat)
+                remat=args.remat, attn_backend=args.attn_backend)
             s_img_type = "4ch" if fourch else args.folder
 
             def store_step(state, opt_state, table, idx, key, m):
@@ -197,7 +197,8 @@ def train_one_draw_fn(args, vit_cfg):
             step = jax.jit(moco.make_pretrain_step(
                 cfg, vit_cfg, tx,
                 compute_dtype=common.compute_dtype(args),
-                remat=args.remat), donate_argnums=(0, 1))
+                remat=args.remat,
+                attn_backend=args.attn_backend), donate_argnums=(0, 1))
 
         # resume: restores state + optimizer + epoch (the reference restores
         # epoch/model/optimizer/scaler — pretrain main :356-372)

@@ -78,7 +78,16 @@ def apply(params: Params, vit_tokens: jnp.ndarray,
           cnn_featmap: jnp.ndarray, *, heads: int = 3,
           dim_head: int = 64) -> jnp.ndarray:
     """vit_tokens (B, 197, 384), cnn_featmap (B, h, w, 512) ->
-    logits (B, num_classes)."""
+    logits (B, num_classes).
+
+    Preserved reference quirk: layers do NOT chain. The reference forward
+    (crossvit.py:78-105) never re-assigns ``xs`` inside the loop (the
+    ``xs = torch.cat(...)`` update is commented out at :103) and returns
+    only the last iteration's ``cal_out``, so with ``cross_attn_depth > 1``
+    every layer re-reads the ORIGINAL ViT CLS and all but the last layer
+    are dead compute — exactly as here (pinned by
+    tests/test_alt_fusion.py::test_depth2_only_last_layer_reaches_output).
+    """
     B, h, w, C = cnn_featmap.shape
     xl = cnn_featmap.reshape(B, h * w, C)  # 'b c h w -> b (h w) c' NHWC-nat.
     cal_out = None

@@ -327,18 +327,42 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     def run_block(x, blk, bi):
         if "qkv8" in blk:
             # int8 W8A8 serving path (ops/fused_int8.py): quantization
-            # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16
+            # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16.
+            # The kernels require the Pallas path AND VMEM feasibility
+            # (interpret mode has no VMEM limit); otherwise dequantize the
+            # int8 weights and run the unfused XLA math (W8 storage,
+            # bf16/fp32 activations) — long sequences (img >= 384) blow
+            # the in-kernel fp32 score buffers just like the bf16 kernel.
             from mfvit_tpu.ops import fused_int8 as fi8
-            x = fi8.fused_attention_block_i8(
-                x, blk["norm1"]["scale"], blk["norm1"]["bias"],
-                blk["qkv8"]["q"], blk["qkv8"]["s"], blk["qkv8"]["b"],
-                blk["proj8"]["q"], blk["proj8"]["s"], blk["proj8"]["b"],
-                cfg.heads, scale, interp)
-            return fi8.fused_mlp_block_i8(
-                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
-                blk["fc18"]["q"], blk["fc18"]["s"], blk["fc18"]["b"],
-                blk["fc28"]["q"], blk["fc28"]["s"], blk["fc28"]["b"],
-                interp)
+            if pallas_path and (interp or fi8.attn_supported(
+                    cfg.seq_len, cfg.dim, cfg.heads)):
+                x = fi8.fused_attention_block_i8(
+                    x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                    blk["qkv8"]["q"], blk["qkv8"]["s"], blk["qkv8"]["b"],
+                    blk["proj8"]["q"], blk["proj8"]["s"], blk["proj8"]["b"],
+                    cfg.heads, scale, interp)
+            else:
+                h = layernorm(blk["norm1"], x)
+                qkv = linear({"w": fi8.dequant_w(blk["qkv8"]),
+                              "b": blk["qkv8"]["b"]}, h)
+                # "xla", not inner_backend: this branch only triggers when
+                # the sequence is too long for the in-VMEM score buffers,
+                # which rules out the plain Pallas MHSA kernel too
+                attn = mhsa_from_packed(qkv, cfg.heads, scale,
+                                        backend="xla")
+                x = x + linear({"w": fi8.dequant_w(blk["proj8"]),
+                                "b": blk["proj8"]["b"]}, attn)
+            if pallas_path:
+                return fi8.fused_mlp_block_i8(
+                    x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["fc18"]["q"], blk["fc18"]["s"], blk["fc18"]["b"],
+                    blk["fc28"]["q"], blk["fc28"]["s"], blk["fc28"]["b"],
+                    interp)
+            mlpp = {"fc1": {"w": fi8.dequant_w(blk["fc18"]),
+                            "b": blk["fc18"]["b"]},
+                    "fc2": {"w": fi8.dequant_w(blk["fc28"]),
+                            "b": blk["fc28"]["b"]}}
+            return x + mlp(mlpp, layernorm(blk["norm2"], x))
         if pallas_path and "wq" not in blk["qkv"]:
             # One fused kernel: LN1 + qkv GEMM + MHSA + proj + residual
             # (2.35 vs 4.31 ms for the unfused chain — docs/PERF.md).

@@ -37,7 +37,10 @@ _DEFAULT_BACKEND = "auto"
 def set_default_backend(backend: str) -> None:
     """Set process-wide default attention backend: auto|pallas|xla."""
     global _DEFAULT_BACKEND
-    assert backend in ("auto", "pallas", "xla", "pallas_interpret")
+    if backend not in ("auto", "pallas", "xla", "pallas_interpret"):
+        # not assert: the validation must survive python -O — an invalid
+        # string stored here would otherwise dispatch to the Pallas path
+        raise ValueError(f"unknown attention backend {backend!r}")
     _DEFAULT_BACKEND = backend
 
 

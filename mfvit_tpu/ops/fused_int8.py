@@ -28,6 +28,32 @@ from mfvit_tpu.ops.fused_mlp import _gelu_exactish
 Params = Dict[str, Any]
 
 
+_MB = 1024 * 1024
+
+
+def attn_supported(N: int, D: int, heads: int) -> bool:
+    """VMEM feasibility of ``fused_attention_block_i8`` at CB=1.
+
+    The kernel holds, per batch item: the int32 qkv accumulator + fp32
+    transposed qkv (3*D*N*4 each), the fp32 score and exp buffers
+    (heads*N*N*4 each), the fp32 PV output + quant temps (~2*D*N*4), the
+    int8 weight tiles, and double-buffered bf16 in/out tiles. False =>
+    vit.apply dequantizes the int8 weights and runs the unfused XLA
+    attention half instead (long sequences, e.g. img-size >= 384 where
+    N=577 blows the score buffers — mirrors fused_attn.supported())."""
+    weights = D * 3 * D + D * D                    # int8 qkv + proj
+    inter = (2 * 3 * D * N * 4                     # int32 acc + fp32 qkv_t
+             + 2 * heads * N * N * 4               # scores + exp
+             + 2 * D * N * 4)                      # o + quant temps
+    io = 2 * 2 * N * D * 2                         # dbl-buffered bf16 tiles
+    return weights + inter + io < 14 * _MB
+
+
+def dequant_w(p: Params) -> jnp.ndarray:
+    """int8 + per-out-column scales -> fp32 weight (XLA fallback path)."""
+    return p["q"].astype(jnp.float32) * p["s"]
+
+
 def quantize_weight_cols(w: jnp.ndarray) -> Params:
     """fp32 (in, out) -> int8 + per-OUT-column fp32 scales."""
     w = w.astype(jnp.float32)

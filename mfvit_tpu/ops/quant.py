@@ -54,15 +54,6 @@ def quantize_linear_params(p: Params) -> Params:
     return out
 
 
-def linear_maybe_quant(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "wq" in p:
-        return quantized_linear(p["wq"], x, p.get("b"))
-    y = x @ p["w"].astype(x.dtype)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
-
-
 def quantize_vit_params(params: Params) -> Params:
     """Quantize a ViT param pytree's hot linears (qkv/proj/fc1/fc2 and the
     patch embedding). LN/cls/pos/head stay full precision."""

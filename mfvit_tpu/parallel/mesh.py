@@ -105,7 +105,8 @@ def make_moco_parallel_step(cfg: moco_mod.MoCoConfig,
                             vit_cfg: vit_mod.ViTConfig, tx, mesh: Mesh, *,
                             axis: str = "data",
                             compute_dtype=jnp.bfloat16,
-                            remat: bool = False):
+                            remat: bool = False,
+                            attn_backend: str | None = None):
     """shard_map the MoCo pretrain step over the data axis.
 
     State and optimizer state are replicated; images are sharded on the
@@ -118,7 +119,8 @@ def make_moco_parallel_step(cfg: moco_mod.MoCoConfig,
     """
     inner = moco_mod.make_pretrain_step(cfg, vit_cfg, tx, axis_name=axis,
                                         compute_dtype=compute_dtype,
-                                        remat=remat)
+                                        remat=remat,
+                                        attn_backend=attn_backend)
 
     def step(state, opt_state, im_q, im_k, m):
         if cfg.loss == "v2_queue" and cfg.K % im_q.shape[0] != 0:

@@ -197,7 +197,8 @@ def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
             backbone_cfg, *, training: bool,
             axis_name: Optional[str], compute_dtype,
             stop_grad_conv1: bool,
-            remat: bool = False) -> Tuple[jnp.ndarray, Params]:
+            remat: bool = False,
+            attn_backend: Optional[str] = None) -> Tuple[jnp.ndarray, Params]:
     if isinstance(backbone_cfg, vit_mod.ViTConfig):
         if backbone_cfg.conv_stem and training:
             # ConvStem BNs train with batch stats; the updated running
@@ -205,13 +206,13 @@ def _encode(tower: Params, imgs: jnp.ndarray, cfg: MoCoConfig,
             feats, new_patch = vit_mod.apply(
                 tower["encoder"], imgs, backbone_cfg,
                 compute_dtype=compute_dtype,
-                stop_grad_conv1=stop_grad_conv1,
+                stop_grad_conv1=stop_grad_conv1, attn_backend=attn_backend,
                 bn_training=training, bn_axis_name=axis_name, remat=remat)
             new_enc = dict(tower["encoder"], patch=new_patch)
         else:
             feats = vit_mod.apply(
                 tower["encoder"], imgs, backbone_cfg,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, attn_backend=attn_backend,
                 stop_grad_conv1=stop_grad_conv1, remat=remat)  # (B, w) fp32
             new_enc = tower["encoder"]
     else:
@@ -260,7 +261,8 @@ def _gather(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
 def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
                      m, cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, *,
                      axis_name: Optional[str] = None,
-                     compute_dtype=jnp.bfloat16, remat: bool = False):
+                     compute_dtype=jnp.bfloat16, remat: bool = False,
+                     attn_backend: Optional[str] = None):
     """One pretraining forward with the v2 queue loss.
 
     Returns (loss, aux) where aux carries the new state pieces (EMA-updated
@@ -275,7 +277,8 @@ def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
     # backward anyway
     zq, new_base = _encode(state["base"], im_q, cfg, vit_cfg, training=True,
                            axis_name=axis_name, compute_dtype=compute_dtype,
-                           stop_grad_conv1=cfg.stop_grad_conv1, remat=remat)
+                           stop_grad_conv1=cfg.stop_grad_conv1, remat=remat,
+                           attn_backend=attn_backend)
     q, new_pred = _mlp_apply(state["predictor"], zq, training=True,
                              axis_name=axis_name)
     q = _l2norm(q)
@@ -284,7 +287,8 @@ def forward_v2_queue(state: Params, im_q: jnp.ndarray, im_k: jnp.ndarray,
     zk, new_momentum = _encode(new_momentum, im_k, cfg, vit_cfg,
                                training=True, axis_name=axis_name,
                                compute_dtype=compute_dtype,
-                               stop_grad_conv1=False)
+                               stop_grad_conv1=False,
+                               attn_backend=attn_backend)
     if cfg.predictor_on_keys:
         # torch BN updates running stats under ``no_grad`` when the module
         # is in training mode, so the reference's key pass (:174) advances
@@ -352,7 +356,8 @@ def _contrastive_v3(q: jnp.ndarray, k: jnp.ndarray, T: float,
 def forward_v3_symmetric(state: Params, x1: jnp.ndarray, x2: jnp.ndarray,
                          m, cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, *,
                          axis_name: Optional[str] = None,
-                         compute_dtype=jnp.bfloat16, remat: bool = False):
+                         compute_dtype=jnp.bfloat16, remat: bool = False,
+                         attn_backend: Optional[str] = None):
     """MoCo-v3 symmetric objective (builder_vit.py:94-115): both views pass
     both towers; loss = ctr(q1,k2) + ctr(q2,k1). Queue unused."""
     new_momentum = _ema_update(state["momentum"], state["base"], m)
@@ -360,7 +365,8 @@ def forward_v3_symmetric(state: Params, x1: jnp.ndarray, x2: jnp.ndarray,
     def q_branch(tower, pred, imgs):
         z, nt = _encode(tower, imgs, cfg, vit_cfg, training=True,
                         axis_name=axis_name, compute_dtype=compute_dtype,
-                        stop_grad_conv1=cfg.stop_grad_conv1, remat=remat)
+                        stop_grad_conv1=cfg.stop_grad_conv1, remat=remat,
+                        attn_backend=attn_backend)
         out, npred = _mlp_apply(pred, z, training=True, axis_name=axis_name)
         return out, nt, npred
 
@@ -369,11 +375,13 @@ def forward_v3_symmetric(state: Params, x1: jnp.ndarray, x2: jnp.ndarray,
     k1, new_momentum = _encode(new_momentum, x1, cfg, vit_cfg, training=True,
                                axis_name=axis_name,
                                compute_dtype=compute_dtype,
-                               stop_grad_conv1=False)
+                               stop_grad_conv1=False,
+                               attn_backend=attn_backend)
     k2, new_momentum = _encode(new_momentum, x2, cfg, vit_cfg, training=True,
                                axis_name=axis_name,
                                compute_dtype=compute_dtype,
-                               stop_grad_conv1=False)
+                               stop_grad_conv1=False,
+                               attn_backend=attn_backend)
     loss = (_contrastive_v3(q1, k2, cfg.T, axis_name) +
             _contrastive_v3(q2, k1, cfg.T, axis_name))
     aux = {"base": new_base, "momentum": new_momentum, "predictor": new_pred,
@@ -395,7 +403,8 @@ def forward(state, im_q, im_k, m, cfg: MoCoConfig,
 
 def make_pretrain_step(cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, tx, *,
                        axis_name: Optional[str] = None,
-                       compute_dtype=jnp.bfloat16, remat: bool = False):
+                       compute_dtype=jnp.bfloat16, remat: bool = False,
+                       attn_backend: Optional[str] = None):
     """Build the jitted MoCo pretraining step.
 
     Gradients flow to the base tower + predictor only; the momentum tower,
@@ -408,7 +417,7 @@ def make_pretrain_step(cfg: MoCoConfig, vit_cfg: vit_mod.ViTConfig, tx, *,
                   predictor=grad_params["predictor"])
         loss, aux = forward(st, im_q, im_k, m, cfg, vit_cfg,
                             axis_name=axis_name, compute_dtype=compute_dtype,
-                            remat=remat)
+                            remat=remat, attn_backend=attn_backend)
         return loss, aux
 
     def step(state, opt_state, im_q, im_k, m):

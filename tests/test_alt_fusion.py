@@ -52,6 +52,34 @@ def test_crossvit_cnn_fusion(rng):
         np.asarray(g["encoders"][0]["layers"][0]["f_sl"]["w"]).sum())
 
 
+def test_depth2_only_last_layer_reaches_output(rng):
+    """Preserved reference quirk (crossvit.py:78-105): the cross-attn loop
+    never re-assigns xs (the update at :103 is commented out), so with
+    cross_attn_depth=2 the output depends ONLY on the last layer — the
+    first layer's params get exactly zero gradient."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    fp = crossvit_cnn.init(k1, small_dim=32, large_dim=64, heads=2,
+                           dim_head=8, cross_attn_depth=2, num_classes=3)
+    tokens = jax.random.normal(k2, (2, 5, 32))
+    featmap = jax.random.normal(k3, (2, 2, 2, 64))
+    base = crossvit_cnn.apply(fp, tokens, featmap, heads=2, dim_head=8)
+
+    # mutating layer 0 must not change the logits
+    import copy
+    fp2 = copy.deepcopy(fp)
+    fp2["encoders"][0]["layers"][0]["f_sl"]["w"] = (
+        fp2["encoders"][0]["layers"][0]["f_sl"]["w"] + 7.0)
+    out2 = crossvit_cnn.apply(fp2, tokens, featmap, heads=2, dim_head=8)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out2))
+
+    # and layer 0 gets zero gradient while layer 1 gets nonzero
+    g = jax.grad(lambda p: jnp.sum(
+        crossvit_cnn.apply(p, tokens, featmap, heads=2, dim_head=8) ** 2))(fp)
+    l0 = np.abs(np.asarray(g["encoders"][0]["layers"][0]["f_sl"]["w"])).sum()
+    l1 = np.abs(np.asarray(g["encoders"][0]["layers"][1]["f_sl"]["w"])).sum()
+    assert l0 == 0.0 and l1 > 0.0
+
+
 def test_gpt_fusion_vit_arch(rng):
     cfg = gpt_fusion.GPTFusionConfig(arch="vit", n_embd=32, n_head=2,
                                      n_layer=2, vert_anchors=2,

@@ -79,3 +79,34 @@ def test_int8_fused_serving_path(rng):
     assert (out.argmax(-1) == ref.argmax(-1)).all()
     assert np.abs(out - ref).max() < 0.2 * max(1.0, np.abs(ref).max()), \
         np.abs(out - ref).max()
+
+
+def test_int8_attn_vmem_gate():
+    """The int8 attention kernel's feasibility gate: ViT-S/base at 224
+    (N=197) fit; N=577 (img-size 384) blows the fp32 score buffers."""
+    from mfvit_tpu.ops import fused_int8 as fi8
+    assert fi8.attn_supported(197, 384, 6)
+    assert fi8.attn_supported(197, 768, 12)
+    assert not fi8.attn_supported(577, 384, 6)
+    assert not fi8.attn_supported(577, 768, 12)
+
+
+def test_int8_xla_dequant_fallback(rng):
+    """When the Pallas path is off (or the kernel is VMEM-infeasible) a
+    qkv8 tree still serves: int8 weights are dequantized and the unfused
+    XLA math runs — close to the fp32 reference, same top-1."""
+    from mfvit_tpu.ops import fused_int8 as fi8
+    cfg = vit.ViTConfig("t8f", img_size=32, patch=16, dim=64, depth=2,
+                        heads=2)
+    params = vit.init(rng, cfg, num_classes=3)
+    qparams = fi8.quantize_vit_for_serving(params)
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    ref = np.asarray(vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                               attn_backend="xla"))
+    out = np.asarray(vit.apply(qparams, img, cfg,
+                               compute_dtype=jnp.float32,
+                               attn_backend="xla"))
+    assert (out.argmax(-1) == ref.argmax(-1)).all()
+    # W8 dequant + fp32 activations: tighter than the in-kernel W8A8 path
+    assert np.abs(out - ref).max() < 0.1 * max(1.0, np.abs(ref).max()), \
+        np.abs(out - ref).max()
