@@ -729,6 +729,29 @@ def make_eval_runner(args, img_types, forward, *, mesh=None, n_dev: int = 1):
     return Evaluator(batch_forward, metric_names=["auc", "acc"])
 
 
+def make_param_evaluate(args, img_types, eval_step, *, mesh=None,
+                        n_dev: int = 1):
+    """Per-draw ``evaluate(params, loader, *, n_total) -> Evaluator result``
+    over a params-taking ``eval_step(params, *imgs) -> logits``.
+
+    Builds the eval runner ONCE — make_eval_runner constructs the
+    multi-process all-gather jit at creation time ("built ONCE" above), so
+    rebuilding it per evaluation would re-trace that gather every epoch.
+    Params swap per call through a closure cell; the cell value is passed
+    as a real argument to the jitted eval_step (never baked into a trace),
+    so swapping is retrace-free."""
+    cell = {"params": None}
+    runner = make_eval_runner(
+        args, img_types, lambda *xs: eval_step(cell["params"], *xs),
+        mesh=mesh, n_dev=n_dev)
+
+    def evaluate(params, loader, *, n_total: int):
+        cell["params"] = params
+        return runner.evaluate(loader, n_total=n_total)
+
+    return evaluate
+
+
 def host_rng(args) -> np.random.Generator:
     return np.random.default_rng(args.seed if args.seed is not None else 0)
 

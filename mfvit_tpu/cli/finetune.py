@@ -70,22 +70,14 @@ def load_backbone(args, cfg) -> Optional[dict]:
 
 
 def make_evaluate(eval_step, args, *, mesh=None, n_dev: int = 1):
-    """Build the eval runner ONCE per draw — make_eval_runner constructs
-    the multi-process all-gather jit at creation time (common.py: 'built
-    ONCE'), so rebuilding it per evaluate() call would re-trace that
-    gather on every evaluation of every epoch. Params are swapped per
-    call through a closure cell.
-
-    Returns ``evaluate(params, loader, *, n_total) ->
-    (auc, acc, loss, logits, labels)``."""
-    cell = {"params": None}
-    runner = common.make_eval_runner(
-        args, [args.folder], lambda x: eval_step(cell["params"], x),
-        mesh=mesh, n_dev=n_dev)
+    """Per-draw ``evaluate(params, loader, *, n_total) ->
+    (auc, acc, loss, logits, labels)`` (common.make_param_evaluate plus
+    the eval CE loss the reference prints per phase)."""
+    base = common.make_param_evaluate(args, [args.folder], eval_step,
+                                      mesh=mesh, n_dev=n_dev)
 
     def evaluate(params, loader, *, n_total: int):
-        cell["params"] = params
-        res = runner.evaluate(loader, n_total=n_total)
+        res = base(params, loader, n_total=n_total)
         logits, labels = res["logits"], res["labels"]
         loss = float(np.mean(
             -np.take_along_axis(

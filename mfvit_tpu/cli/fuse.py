@@ -97,18 +97,13 @@ def load_branch(path: str, cfg, ratio, draw,
 
 
 def make_evaluate(eval_step, args, *, mesh=None, n_dev: int = 1):
-    """Build the eval runner ONCE per draw (make_eval_runner constructs
-    the multi-process all-gather jit at creation; rebuilding per call
-    would re-trace it every evaluation). Params swap through a cell."""
-    cell = {"params": None}
-    runner = common.make_eval_runner(
-        args, ["data", "Train_Mix"],
-        lambda xc, xe: eval_step(cell["params"], xc, xe),
-        mesh=mesh, n_dev=n_dev)
+    """Per-draw ``evaluate(params, loader, *, n_total) -> (auc, acc)``
+    over the paired CXR+Enh eval batches (common.make_param_evaluate)."""
+    base = common.make_param_evaluate(args, ["data", "Train_Mix"],
+                                      eval_step, mesh=mesh, n_dev=n_dev)
 
     def evaluate(params, loader, *, n_total: int):
-        cell["params"] = params
-        res = runner.evaluate(loader, n_total=n_total)
+        res = base(params, loader, n_total=n_total)
         return res["auc"], res["acc"]
 
     return evaluate

@@ -328,14 +328,17 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
         if "qkv8" in blk:
             # int8 W8A8 serving path (ops/fused_int8.py): quantization
             # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16.
-            # The kernels require the Pallas path AND VMEM feasibility
-            # (interpret mode has no VMEM limit); otherwise dequantize the
-            # int8 weights and run the unfused XLA math (W8 storage,
-            # bf16/fp32 activations) — long sequences (img >= 384) blow
-            # the in-kernel fp32 score buffers just like the bf16 kernel.
+            # The attention kernel requires the Pallas path AND VMEM
+            # feasibility (the calibrated _i8_cb planner — long sequences
+            # at big dims, e.g. vit_base at img >= 384, blow the in-VMEM
+            # fp32 score buffers); otherwise dequantize the int8 weights
+            # and run the unfused XLA math (W8 storage, bf16/fp32
+            # activations). The MLP kernel is row-tiled (N-independent
+            # VMEM) so it needs no gate and still runs in the composite
+            # fallback (tests/test_quant.py::test_int8_composite_fallback).
             from mfvit_tpu.ops import fused_int8 as fi8
-            if pallas_path and (interp or fi8.attn_supported(
-                    cfg.seq_len, cfg.dim, cfg.heads)):
+            if pallas_path and fi8.attn_kernel_ok(
+                    cfg.seq_len, cfg.dim, cfg.heads, interp):
                 x = fi8.fused_attention_block_i8(
                     x, blk["norm1"]["scale"], blk["norm1"]["bias"],
                     blk["qkv8"]["q"], blk["qkv8"]["s"], blk["qkv8"]["b"],

@@ -31,22 +31,46 @@ Params = Dict[str, Any]
 _MB = 1024 * 1024
 
 
-def attn_supported(N: int, D: int, heads: int) -> bool:
-    """VMEM feasibility of ``fused_attention_block_i8`` at CB=1.
+def _i8_cb(B: int, N: int, D: int, heads: int):
+    """Largest feasible CB for ``fused_attention_block_i8``, or None.
 
-    The kernel holds, per batch item: the int32 qkv accumulator + fp32
-    transposed qkv (3*D*N*4 each), the fp32 score and exp buffers
-    (heads*N*N*4 each), the fp32 PV output + quant temps (~2*D*N*4), the
-    int8 weight tiles, and double-buffered bf16 in/out tiles. False =>
-    vit.apply dequantizes the int8 weights and runs the unfused XLA
-    attention half instead (long sequences, e.g. img-size >= 384 where
-    N=577 blows the score buffers — mirrors fused_attn.supported())."""
-    weights = D * 3 * D + D * D                    # int8 qkv + proj
-    inter = (2 * 3 * D * N * 4                     # int32 acc + fp32 qkv_t
-             + 2 * heads * N * N * 4               # scores + exp
-             + 2 * D * N * 4)                      # o + quant temps
-    io = 2 * 2 * N * D * 2                         # dbl-buffered bf16 tiles
-    return weights + inter + io < 14 * _MB
+    Planning model: int8 weights + ONE loop iteration's fp32 score buffer
+    (heads, N, Np) + the int32 qkv accumulator / fp32 transposed-qkv pair
+    (3D, Np) + CB double-buffered bf16 io tiles. Temporaries are counted
+    once, not per CB — Mosaic reuses the unrolled iterations' buffers
+    (measured: vit_base CB=2 compiles although a per-CB count says 2x).
+    The model still over-counts within-iteration reuse (scores/exp share,
+    the PV epilogue reuses the qkv pair), so the budget is CALIBRATED,
+    not physical VMEM: tools/calibrate_i8_attn.py measured 11 corners
+    on-chip; every pass sits at est <= 18.9 MB (N=577/D=384 CB=2) and
+    every fail at est >= 23.6 MB (N=385/D=768 CB=1) — 21 MB splits them
+    with margin both ways."""
+    Np = -(-N // 128) * 128
+    est = lambda c: (4 * D * D                     # int8 qkv + proj  # noqa: E731
+                     + heads * N * Np * 4          # fp32 scores
+                     + 3 * D * Np * 8              # int32 acc + fp32 qkv_t
+                     + c * 8 * N * D)              # dbl-buffered bf16 io
+    return next((c for c in (2, 1) if B % c == 0 and est(c) < 21 * _MB),
+                None)
+
+
+def attn_supported(N: int, D: int, heads: int) -> bool:
+    """VMEM feasibility of ``fused_attention_block_i8`` at these dims.
+
+    Shares ``_i8_cb``'s exact formula (the kernel's own CB planner), so
+    vit.apply's gate and the kernel can never disagree — the
+    fused_attn.supported() pattern. False => vit.apply dequantizes the
+    int8 weights and runs the unfused XLA attention half instead (long
+    sequences at big dims, e.g. vit_base at img-size >= 384)."""
+    return _i8_cb(1, N, D, heads) is not None
+
+
+def attn_kernel_ok(N: int, D: int, heads: int, interpret: bool) -> bool:
+    """vit.apply's routing seam for the qkv8 attention half: interpret
+    mode has no VMEM limit so it always takes the kernel. Tests
+    monkeypatch THIS function to drive the composite fallback path
+    (XLA dequant attention + Pallas int8 MLP) off-chip."""
+    return interpret or attn_supported(N, D, heads)
 
 
 def dequant_w(p: Params) -> jnp.ndarray:
@@ -190,7 +214,16 @@ def fused_attention_block_i8(x, ln_s, ln_b, wqkvq, wqkvs, bqkv, wprojq,
                              wprojs, bproj, heads: int, scale: float,
                              interpret: bool = False):
     B, N, D = x.shape
-    CB = next(c for c in (2, 1) if B % c == 0)
+    CB = _i8_cb(B, N, D, heads)
+    if CB is None:
+        if interpret:
+            # interpreter mode has no VMEM constraint (off-chip debugging)
+            CB = next(c for c in (2, 1) if B % c == 0)
+        else:
+            raise ValueError(
+                f"int8 fused attention kernel does not fit VMEM at N={N}, "
+                f"D={D} even at CB=1 — gate call sites on "
+                "fused_int8.attn_supported() (vit.apply does)")
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)

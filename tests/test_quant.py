@@ -82,13 +82,58 @@ def test_int8_fused_serving_path(rng):
 
 
 def test_int8_attn_vmem_gate():
-    """The int8 attention kernel's feasibility gate: ViT-S/base at 224
-    (N=197) fit; N=577 (img-size 384) blows the fp32 score buffers."""
+    """The int8 attention kernel's feasibility gate, pinned to the
+    on-chip calibration matrix (tools/calibrate_i8_attn.py): ViT-S fits
+    through N=577 (img-size 384); vit_base dims blow the fp32 score
+    buffers past N=257. Gate and kernel share the _i8_cb planner, so
+    these verdicts are exactly the kernel's compile feasibility."""
     from mfvit_tpu.ops import fused_int8 as fi8
+    # measured PASS corners
     assert fi8.attn_supported(197, 384, 6)
     assert fi8.attn_supported(197, 768, 12)
-    assert not fi8.attn_supported(577, 384, 6)
+    assert fi8.attn_supported(257, 768, 12)
+    assert fi8.attn_supported(577, 384, 6)
+    # measured FAIL corners
+    assert not fi8.attn_supported(385, 768, 12)
     assert not fi8.attn_supported(577, 768, 12)
+    assert not fi8.attn_supported(769, 384, 6)
+    # the planner mirrors the gate: feasible dims pick a CB, infeasible
+    # dims return None (the kernel raises, pointing at the gate)
+    assert fi8._i8_cb(4, 197, 384, 6) == 2
+    assert fi8._i8_cb(3, 197, 384, 6) == 1  # odd batch
+    assert fi8._i8_cb(4, 577, 768, 12) is None
+
+
+def test_int8_composite_fallback(rng, monkeypatch):
+    """The composite serving path — XLA dequant attention + the Pallas
+    int8 MLP kernel — is what a VMEM-infeasible attention config runs on
+    the Pallas backend (vit_base at img >= 384). Unreachable naturally on
+    CPU (interpret mode has no VMEM limit), so monkeypatch the
+    fused_int8.attn_kernel_ok routing seam to force it through vit.apply
+    and check it against the fp32 reference."""
+    from mfvit_tpu.ops import fused_int8 as fi8
+    cfg = vit.ViTConfig("t8c", img_size=32, patch=16, dim=64, depth=2,
+                        heads=2)
+    params = vit.init(rng, cfg, num_classes=3)
+    qparams = fi8.quantize_vit_for_serving(params)
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    ref = np.asarray(vit.apply(params, img, cfg, compute_dtype=jnp.float32,
+                               attn_backend="xla"))
+    full = np.asarray(vit.apply(qparams, img, cfg,
+                                compute_dtype=jnp.float32,
+                                attn_backend="pallas_interpret"))
+    monkeypatch.setattr(fi8, "attn_kernel_ok",
+                        lambda N, D, heads, interp: False)
+    comp = np.asarray(vit.apply(qparams, img, cfg,
+                                compute_dtype=jnp.float32,
+                                attn_backend="pallas_interpret"))
+    # the composite path really diverged from the full-kernel path (the
+    # attention half is W8-dequant instead of in-kernel W8A8) yet stays
+    # close to the reference with the same top-1
+    assert (comp.argmax(-1) == ref.argmax(-1)).all()
+    assert np.abs(comp - ref).max() < 0.2 * max(1.0, np.abs(ref).max()), \
+        np.abs(comp - ref).max()
+    assert np.abs(comp - full).max() > 0.0  # the branch actually switched
 
 
 def test_int8_xla_dequant_fallback(rng):

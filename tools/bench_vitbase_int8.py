@@ -4,6 +4,8 @@ The W8A8 arithmetic-intensity crossover sits above ViT-S dims (docs/PERF.md);
 this measures the vit_base side: +2.2% for int8 at B=256 with 98.4% top-1
 agreement. Run: ./tools_tpurun.sh tools/bench_vitbase_int8.py
 """
+import time
+
 import numpy as np
 import jax, jax.numpy as jnp
 from mfvit_tpu.nn import vit
