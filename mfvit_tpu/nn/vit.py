@@ -286,6 +286,13 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     backend = attn_ops._resolve(attn_backend)
     pallas_path = backend in ("pallas", "pallas_interpret")
     interp = backend == "pallas_interpret"
+    # qkv8 (int8 serving) blocks route on their own flag: the bf16 VMEM
+    # gates just below size the BF16 kernels' score buffers and must not
+    # disable the int8 kernels, which carry their own calibrated planner
+    # (fused_int8._i8_cb via attn_kernel_ok) and an N-independent
+    # row-tiled MLP. Only the big-batch compile gate further down also
+    # applies to int8.
+    i8_pallas = pallas_path
     inner_backend = attn_backend
     use_large_attn = False
     if pallas_path and not fused_attn_supported(
@@ -313,7 +320,7 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     # the gate (tools/check_vitbase_b256_compile.py measures the raw
     # kernel-path boundary with it).
     per_dev_b = B // max(jax.device_count(), 1)
-    if (pallas_path and not interp and cfg.dim > 512 and per_dev_b >= 128
+    if (i8_pallas and not interp and cfg.dim > 512 and per_dev_b >= 128
             and not os.environ.get("MFVIT_NO_ATTN_FALLBACK")):
         warnings.warn(
             f"pallas backend with dim={cfg.dim} and per-device batch "
@@ -321,6 +328,7 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
             "attention for this step (docs/PERF.md) — shard to <=64 "
             "images/device to use the Pallas kernels", stacklevel=2)
         pallas_path = False
+        i8_pallas = False
         inner_backend = "xla"
     last_i = len(params["blocks"]) - 1
 
@@ -328,16 +336,19 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
         if "qkv8" in blk:
             # int8 W8A8 serving path (ops/fused_int8.py): quantization
             # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16.
-            # The attention kernel requires the Pallas path AND VMEM
+            # The attention kernel requires the pallas backend AND VMEM
             # feasibility (the calibrated _i8_cb planner — long sequences
             # at big dims, e.g. vit_base at img >= 384, blow the in-VMEM
             # fp32 score buffers); otherwise dequantize the int8 weights
             # and run the unfused XLA math (W8 storage, bf16/fp32
             # activations). The MLP kernel is row-tiled (N-independent
-            # VMEM) so it needs no gate and still runs in the composite
-            # fallback (tests/test_quant.py::test_int8_composite_fallback).
+            # VMEM) so it needs no VMEM gate and still runs in that
+            # composite fallback — i8_pallas, not pallas_path, so the
+            # bf16 kernels' VMEM gates can't strand a quantized tree on
+            # full-dequant XLA (tests/test_quant.py::
+            # test_int8_composite_fallback).
             from mfvit_tpu.ops import fused_int8 as fi8
-            if pallas_path and fi8.attn_kernel_ok(
+            if i8_pallas and fi8.attn_kernel_ok(
                     cfg.seq_len, cfg.dim, cfg.heads, interp):
                 x = fi8.fused_attention_block_i8(
                     x, blk["norm1"]["scale"], blk["norm1"]["bias"],
@@ -355,7 +366,7 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
                                         backend="xla")
                 x = x + linear({"w": fi8.dequant_w(blk["proj8"]),
                                 "b": blk["proj8"]["b"]}, attn)
-            if pallas_path:
+            if i8_pallas:
                 return fi8.fused_mlp_block_i8(
                     x, blk["norm2"]["scale"], blk["norm2"]["bias"],
                     blk["fc18"]["q"], blk["fc18"]["s"], blk["fc18"]["b"],

@@ -209,12 +209,22 @@ def _attn_kernel_i8(x_ref, lns_ref, lnb_ref, wqkvq_ref, wqkvs_ref,
         o_ref[b] = xb + y.astype(xb.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret",
+                                    "force_cb"))
 def fused_attention_block_i8(x, ln_s, ln_b, wqkvq, wqkvs, bqkv, wprojq,
                              wprojs, bproj, heads: int, scale: float,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             force_cb: int | None = None):
     B, N, D = x.shape
-    CB = _i8_cb(B, N, D, heads)
+    if force_cb is not None:
+        # calibration-only override (tools/calibrate_i8_attn.py): compile
+        # at exactly this CB so the PROBE measures the chip, not the
+        # planner — production call sites must leave it None
+        assert B % force_cb == 0, (B, force_cb)
+        CB = force_cb
+    else:
+        CB = _i8_cb(B, N, D, heads)
     if CB is None:
         if interpret:
             # interpreter mode has no VMEM constraint (off-chip debugging)

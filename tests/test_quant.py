@@ -104,6 +104,38 @@ def test_int8_attn_vmem_gate():
     assert fi8._i8_cb(4, 577, 768, 12) is None
 
 
+def test_i8_attn_force_cb_bypasses_planner(rng, monkeypatch):
+    """force_cb (the calibration tool's override) compiles at exactly the
+    requested CB without consulting _i8_cb — otherwise corners the current
+    budget rejects would raise at trace time and the budget could never be
+    re-calibrated downward on-chip."""
+    from mfvit_tpu.ops import fused_int8 as fi8
+    D, N, heads = 64, 64, 2
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, N, D), jnp.bfloat16)
+    ln = jnp.ones((D,), jnp.float32)
+    w = fi8.quantize_weight_cols(jax.random.normal(k, (D, 3 * D)) * 0.05)
+    p = fi8.quantize_weight_cols(jax.random.normal(k, (D, D)) * 0.05)
+    b3 = jnp.zeros((3 * D,), jnp.float32)
+    bd = jnp.zeros((D,), jnp.float32)
+    args = (x, ln, jnp.zeros_like(ln), w["q"], w["s"], b3, p["q"], p["s"],
+            bd, heads, (D // heads) ** -0.5)
+    planned = np.asarray(fi8.fused_attention_block_i8(*args, True))
+
+    def boom(*a):
+        raise AssertionError("planner consulted despite force_cb")
+
+    monkeypatch.setattr(fi8, "_i8_cb", boom)
+    forced = np.asarray(fi8.fused_attention_block_i8(*args, True,
+                                                     force_cb=1))
+    np.testing.assert_allclose(forced, planned, rtol=0, atol=1e-5)
+    # a fresh trace WITHOUT force_cb does consult the planner (different
+    # batch so the jit cache can't serve the first call's trace)
+    args4 = (jnp.concatenate([x, x]),) + args[1:]
+    with pytest.raises(AssertionError, match="planner consulted"):
+        fi8.fused_attention_block_i8(*args4, True)
+
+
 def test_int8_composite_fallback(rng, monkeypatch):
     """The composite serving path — XLA dequant attention + the Pallas
     int8 MLP kernel — is what a VMEM-infeasible attention config runs on
@@ -134,6 +166,52 @@ def test_int8_composite_fallback(rng, monkeypatch):
     assert np.abs(comp - ref).max() < 0.2 * max(1.0, np.abs(ref).max()), \
         np.abs(comp - ref).max()
     assert np.abs(comp - full).max() > 0.0  # the branch actually switched
+
+
+def test_int8_kernels_survive_bf16_vmem_gate(rng, monkeypatch):
+    """Regression: a qkv8 tree routes on its OWN planner (i8_pallas), not
+    the bf16 kernels' VMEM gates. Emulates vit_base at img >= 384 on the
+    real 'pallas' backend — fused_attn supported()/qblocked_supported()
+    both reject, the int8 attention planner rejects too — and asserts the
+    N-independent row-tiled int8 MLP kernel STILL runs (previously the
+    whole block silently fell back to full-dequant XLA, losing the
+    composite path's int8 MLP speedup)."""
+    from mfvit_tpu.ops import fused_attn
+    from mfvit_tpu.ops import fused_int8 as fi8
+    cfg = vit.ViTConfig("t8g", img_size=32, patch=16, dim=64, depth=2,
+                        heads=2)
+    params = vit.init(rng, cfg, num_classes=3)
+    qparams = fi8.quantize_vit_for_serving(params)
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    # composite reference on the interpret backend (bf16 gates can't fire
+    # there, so only the attention seam is forced)
+    monkeypatch.setattr(fi8, "attn_kernel_ok",
+                        lambda N, D, heads, interp: False)
+    comp = np.asarray(vit.apply(qparams, img, cfg,
+                                compute_dtype=jnp.float32,
+                                attn_backend="pallas_interpret"))
+    # the vit_base@384 situation: non-interpret backend, bf16 gates reject
+    monkeypatch.setattr(vit, "fused_attn_supported",
+                        lambda N, D, heads: False)
+    monkeypatch.setattr(fused_attn, "qblocked_supported",
+                        lambda N, D, heads: False)
+    calls = []
+    orig_mlp = fi8.fused_mlp_block_i8
+
+    def mlp_spy(x, lns, lnb, w1q, w1s, b1, w2q, w2s, b2, interpret=False):
+        calls.append(interpret)
+        # delegate to interpret mode: no real Pallas compile on CPU
+        return orig_mlp(x, lns, lnb, w1q, w1s, b1, w2q, w2s, b2, True)
+
+    monkeypatch.setattr(fi8, "fused_mlp_block_i8", mlp_spy)
+    out = np.asarray(vit.apply(qparams, img, cfg,
+                               compute_dtype=jnp.float32,
+                               attn_backend="pallas"))
+    # the MLP kernel was reached on the non-interpret path, every block
+    assert calls == [False] * cfg.depth, calls
+    # and the math equals the composite path (XLA dequant attention +
+    # int8 MLP kernel)
+    np.testing.assert_allclose(out, comp, rtol=0, atol=1e-5)
 
 
 def test_int8_xla_dequant_fallback(rng):

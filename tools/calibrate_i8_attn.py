@@ -22,9 +22,16 @@ def probe(N, D, heads, CB):
     b3 = jnp.zeros((3 * D,), jnp.float32)
     bd = jnp.zeros((D,), jnp.float32)
     try:
+        # force_cb bypasses the _i8_cb planner so the probe compiles the
+        # kernel at exactly this CB on the chip — otherwise corners the
+        # current budget rejects would FAIL at trace time with the
+        # planner's ValueError and the budget could never be re-calibrated
+        # downward, and "CB=2" probes the planner re-plans to CB=1 would
+        # mislabel the result
         out = fi8.fused_attention_block_i8(
             x, ln, jnp.zeros_like(ln), w["q"], w["s"], b3,
-            p["q"], p["s"], bd, heads, (D // heads) ** -0.5)
+            p["q"], p["s"], bd, heads, (D // heads) ** -0.5,
+            force_cb=CB)
         out.block_until_ready()
         print(f"N={N:4d} D={D:4d} H={heads:2d} CB={CB}: OK "
               f"(|out|max {float(jnp.abs(out).max()):.3f})")
