@@ -33,7 +33,8 @@ from mfvit_tpu.nn.layers import layernorm, layernorm_init, linear, linear_init, 
 from mfvit_tpu.ops import attention as attn_ops
 from mfvit_tpu.ops.attention import mhsa_from_packed
 from mfvit_tpu.ops.fused_attn import (fused_attention_block,
-                                      fused_attention_block_large)
+                                      fused_attention_block_large,
+                                      qblocked_supported)
 from mfvit_tpu.ops.fused_attn import supported as fused_attn_supported
 from mfvit_tpu.ops.fused_mlp import fused_mlp_block, fused_mlp_block_final_ln
 
@@ -297,7 +298,6 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
     use_large_attn = False
     if pallas_path and not fused_attn_supported(
             cfg.seq_len, cfg.dim, cfg.heads):
-        from mfvit_tpu.ops.fused_attn import qblocked_supported
         if qblocked_supported(cfg.seq_len, cfg.dim, cfg.heads):
             # long sequences (img-size >= 384): query-blocked scores keep
             # the attention half in Pallas (XLA attention is ~5x slower
@@ -336,16 +336,16 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
         if "qkv8" in blk:
             # int8 W8A8 serving path (ops/fused_int8.py): quantization
             # happens in-kernel on VMEM tiles; int8 MXU at 2x bf16.
-            # The attention kernel requires the pallas backend AND VMEM
-            # feasibility (the calibrated _i8_cb planner — long sequences
-            # at big dims, e.g. vit_base at img >= 384, blow the in-VMEM
-            # fp32 score buffers); otherwise dequantize the int8 weights
-            # and run the unfused XLA math (W8 storage, bf16/fp32
-            # activations). The MLP kernel is row-tiled (N-independent
-            # VMEM) so it needs no VMEM gate and still runs in that
-            # composite fallback — i8_pallas, not pallas_path, so the
-            # bf16 kernels' VMEM gates can't strand a quantized tree on
-            # full-dequant XLA (tests/test_quant.py::
+            # Attention-half fallback chain: (1) the int8 full-scores
+            # kernel (calibrated _i8_cb planner), (2) the query-blocked
+            # bf16 kernel on dequantized weights (long sequences at big
+            # dims, e.g. vit_base at img >= 384, blow the int8 kernel's
+            # in-VMEM fp32 score buffers but fit the blocked one), (3)
+            # unfused XLA dequant math. The MLP kernel is row-tiled
+            # (N-independent VMEM) so it needs no VMEM gate and still
+            # runs in both composite fallbacks — i8_pallas, not
+            # pallas_path, so the bf16 kernels' VMEM gates can't strand a
+            # quantized tree on full-dequant XLA (tests/test_quant.py::
             # test_int8_composite_fallback).
             from mfvit_tpu.ops import fused_int8 as fi8
             if i8_pallas and fi8.attn_kernel_ok(
@@ -354,6 +354,20 @@ def apply(params: Params, imgs: jnp.ndarray, cfg: ViTConfig, *,
                     x, blk["norm1"]["scale"], blk["norm1"]["bias"],
                     blk["qkv8"]["q"], blk["qkv8"]["s"], blk["qkv8"]["b"],
                     blk["proj8"]["q"], blk["proj8"]["s"], blk["proj8"]["b"],
+                    cfg.heads, scale, interp)
+            elif i8_pallas and qblocked_supported(
+                    cfg.seq_len, cfg.dim, cfg.heads):
+                # the int8 full-scores kernel blew VMEM, but the
+                # query-blocked bf16 kernel fits (e.g. vit_small_ori@512,
+                # where _i8_cb rejects at N=1025 but QB=64 fits): W8
+                # storage, kernel compute on dequantized weights (dequant
+                # is a tiny XLA op on the (D,3D)/(D,D) weights ahead of
+                # the pallas_call). vit_base@384 rejects BOTH kernel
+                # tiers and lands on the XLA fallback below
+                x = fused_attention_block_large(
+                    x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                    fi8.dequant_w(blk["qkv8"]), blk["qkv8"]["b"],
+                    fi8.dequant_w(blk["proj8"]), blk["proj8"]["b"],
                     cfg.heads, scale, interp)
             else:
                 h = layernorm(blk["norm1"], x)

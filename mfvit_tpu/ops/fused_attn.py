@@ -213,12 +213,38 @@ def _impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale, interpret,
 # the padded tail. Backward = fp32 XLA recompute (these are off-nominal
 # research configs; the reference never exceeds 224px).
 
-_QB = 128  # query rows per score block (lane-aligned)
+_QB = 128  # preferred query rows per score block (lane-aligned)
+
+
+def _qblocked_qb(N: int, D: int, heads: int):
+    """Largest feasible query-block size (128 preferred for full-lane
+    MXU GEMMs, then 64/32), or None. Shrinking QB only shrinks the fp32
+    score block + exp temp — the resident qkv_t/weights/io terms are
+    QB-independent. Budget calibrated on-chip at PRODUCTION batch
+    (tools/calibrate_qblocked_bigbatch.py) — short-grid probes
+    under-measure TWICE over: a 1-step grid skips Mosaic's io
+    double-buffering entirely, and even a 2-step grid reads low vs the
+    long-grid compile of the same corner (577/768/12 @ QB=32 passed at
+    B=2 but OOMed at B=64 with 18.21M scoped vs the 16M limit — scoped
+    VMEM grows with grid length). Every corner the 16 MB budget accepts
+    measured PASS at B>=32 with XLA-matching output (max accepted est
+    15.2 MB — 325/768/12 @ QB=128); vit_base@384 (est 16.7 MB at QB=32)
+    is genuinely infeasible at any QB and stays on the XLA fallback.
+    vit_small@384 keeps QB=128; vit_small_ori@512 (1025/384/6) fits at
+    QB=64."""
+    Np = -(-N // 128) * 128
+    weights = (3 * D * D + D * D) * 2
+    fixed = (3 * D * Np * 2            # bf16 qkv_t
+             + D * Np * 2 * 2          # o + staging
+             + 6 * Np * D * 2)         # in/out tiles, double-buffered
+    est = lambda qb: weights + fixed + heads * qb * Np * 4 * 2  # noqa: E731
+    return next((qb for qb in (128, 64, 32) if est(qb) < 16 * _MB), None)
 
 
 def _kernel_qblocked(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                      wproj_ref, bproj_ref, o_ref, *, heads: int,
-                     scale: float, has_bias: bool, n_valid: int):
+                     scale: float, has_bias: bool, n_valid: int,
+                     qb: int = _QB):
     cb, Np, D = x_ref.shape  # x arrives zero-padded to a 128-multiple Np
     Dh = D // heads
     wq = wqkv_ref[...]
@@ -245,8 +271,8 @@ def _kernel_qblocked(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         # each query block is projected and written immediately — no
         # (D, Np) attention-output buffer or full-width proj temp lives
         # past the block (the all-resident version hit 18 MB scoped)
-        for qb in range(Np // _QB):
-            sl = slice(qb * _QB, (qb + 1) * _QB)
+        for blk in range(Np // qb):
+            sl = slice(blk * qb, (blk + 1) * qb)
             q_blk = q[:, :, sl]                             # (H, Dh, QB)
             s = jax.lax.dot_general(
                 q_blk, k, (((1,), (1,)), ((0,), (0,))),
@@ -258,8 +284,8 @@ def _kernel_qblocked(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             ob = jax.lax.dot_general(
                 v, p.astype(v.dtype), (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)         # (H, Dh, QB)
-            ob = (ob * r.reshape(heads, 1, _QB)).reshape(
-                D, _QB).astype(xb.dtype)
+            ob = (ob * r.reshape(heads, 1, qb)).reshape(
+                D, qb).astype(xb.dtype)
             y = jax.lax.dot_general(ob, wp, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             o_ref[b, sl] = x_ref[b, sl] + (
@@ -267,15 +293,10 @@ def _kernel_qblocked(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
 
 def qblocked_supported(N: int, D: int, heads: int) -> bool:
-    """Feasibility of the query-blocked kernel at CB=1: resident qkv_t +
-    one (heads, _QB, Np) fp32 score block + weights."""
-    Np = -(-N // 128) * 128
-    weights = (3 * D * D + D * D) * 2
-    resident = (3 * D * Np * 2            # bf16 qkv_t
-                + heads * _QB * Np * 4 * 2  # fp32 score block + exp temp
-                + D * Np * 2 * 2          # o + staging
-                + 4 * Np * D * 2)         # in/out tiles
-    return weights + resident < 14 * _MB
+    """Feasibility of the query-blocked kernel at CB=1 at SOME query-block
+    size — shares ``_qblocked_qb`` so the gate and the kernel's planner
+    can never disagree."""
+    return _qblocked_qb(N, D, heads) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -289,19 +310,36 @@ def fused_attention_block_large(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
                           scale, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
+                                             "force_qb"))
 def _impl_qblocked(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads, scale,
-                   interpret):
+                   interpret, force_qb=None):
     B, N, D = x.shape
     Np = -(-N // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0))) if Np != N else x
+    if force_qb is not None:
+        # calibration-only override (tools/calibrate_qblocked.py):
+        # compile at exactly this query-block size so the probe measures
+        # the chip, not the planner
+        assert Np % force_qb == 0, (Np, force_qb)
+        qb = force_qb
+    else:
+        qb = _qblocked_qb(N, D, heads)
+        if qb is None:
+            if interpret:
+                qb = _QB  # interpreter mode has no VMEM constraint
+            else:
+                raise ValueError(
+                    f"query-blocked attention kernel does not fit VMEM at "
+                    f"N={N}, D={D} even at QB=32 — gate call sites on "
+                    "fused_attn.qblocked_supported() (vit.apply does)")
 
     def vec(v):
         return v.astype(jnp.float32).reshape(1, -1)
 
     const = lambda i: (0, 0)  # noqa: E731
     kern = functools.partial(_kernel_qblocked, heads=heads, scale=scale,
-                             has_bias=True, n_valid=N)
+                             has_bias=True, n_valid=N, qb=qb)
     out = pl.pallas_call(
         kern,
         grid=(B,),

@@ -137,6 +137,18 @@ def test_supported_gates_large_dims():
 
     # img 384 now routes to the query-blocked long-sequence kernel
     assert fa.qblocked_supported(577, 384, 12)
+    # adaptive query-block planner: the shipped vit_small@384 corner keeps
+    # the full-lane QB=128; vit_small_ori@512 (previously stranded on XLA
+    # attention) now fits at QB=64; vit_base@384 is infeasible even at
+    # QB=32 (measured 18.21M scoped vs the 16M limit at the real batch —
+    # QB only shrinks the score block, and the resident
+    # qkv_t/weights/double-buffered-io terms already blow the budget)
+    assert fa._qblocked_qb(577, 384, 12) == 128
+    assert fa._qblocked_qb(577, 768, 12) is None
+    assert fa._qblocked_qb(1025, 384, 6) == 64
+    assert fa._qblocked_qb(1025, 768, 12) is None
+    assert fa.qblocked_supported(1025, 384, 6)
+    assert not fa.qblocked_supported(577, 768, 12)
     cfg = vit.get_config("vit_small", img_size=384)
     params = vit.init(jax.random.PRNGKey(0), cfg, num_classes=3)
     img = jax.random.normal(jax.random.PRNGKey(1), (2, 384, 384, 3))
@@ -192,3 +204,12 @@ def test_qblocked_large_sequence_matches_xla():
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         sc = max(1.0, np.abs(b).max())
         np.testing.assert_allclose(a / sc, b / sc, atol=2e-3)
+
+    # the block loop is query-block-size-invariant: forced QB=64/32 (what
+    # the planner picks at big dims, e.g. vit_base@384 -> 32) match the
+    # default QB=128 result to dot-tiling noise (same per-row math,
+    # different GEMM shapes -> different fp32 reduction splits)
+    for forced in (64, 32):
+        got_qb = fa._impl_qblocked(*args, H, scale, True, force_qb=forced)
+        np.testing.assert_allclose(np.asarray(got_qb), np.asarray(got),
+                                   atol=1e-5, rtol=1e-6)

@@ -137,12 +137,14 @@ def test_i8_attn_force_cb_bypasses_planner(rng, monkeypatch):
 
 
 def test_int8_composite_fallback(rng, monkeypatch):
-    """The composite serving path — XLA dequant attention + the Pallas
-    int8 MLP kernel — is what a VMEM-infeasible attention config runs on
-    the Pallas backend (vit_base at img >= 384). Unreachable naturally on
-    CPU (interpret mode has no VMEM limit), so monkeypatch the
-    fused_int8.attn_kernel_ok routing seam to force it through vit.apply
-    and check it against the fp32 reference."""
+    """The composite serving path — dequant-weight attention + the Pallas
+    int8 MLP kernel — is what a VMEM-infeasible int8-attention config
+    runs on the Pallas backend (vit_base at img >= 384). Since round 5
+    the dequant attention half itself runs through the query-blocked
+    bf16 KERNEL when it fits (tier 2 of the fallback chain), not unfused
+    XLA. Unreachable naturally on CPU (interpret mode has no VMEM limit),
+    so monkeypatch the fused_int8.attn_kernel_ok routing seam to force it
+    through vit.apply and check it against the fp32 reference."""
     from mfvit_tpu.ops import fused_int8 as fi8
     cfg = vit.ViTConfig("t8c", img_size=32, patch=16, dim=64, depth=2,
                         heads=2)
@@ -156,9 +158,19 @@ def test_int8_composite_fallback(rng, monkeypatch):
                                 attn_backend="pallas_interpret"))
     monkeypatch.setattr(fi8, "attn_kernel_ok",
                         lambda N, D, heads, interp: False)
+    large_calls = []
+    orig_large = vit.fused_attention_block_large
+
+    def large_spy(*a, **k):
+        large_calls.append(1)
+        return orig_large(*a, **k)
+
+    monkeypatch.setattr(vit, "fused_attention_block_large", large_spy)
     comp = np.asarray(vit.apply(qparams, img, cfg,
                                 compute_dtype=jnp.float32,
                                 attn_backend="pallas_interpret"))
+    # tier 2 was taken: the query-blocked kernel ran in every block
+    assert len(large_calls) == cfg.depth, large_calls
     # the composite path really diverged from the full-kernel path (the
     # attention half is W8-dequant instead of in-kernel W8A8) yet stays
     # close to the reference with the same top-1
@@ -170,13 +182,12 @@ def test_int8_composite_fallback(rng, monkeypatch):
 
 def test_int8_kernels_survive_bf16_vmem_gate(rng, monkeypatch):
     """Regression: a qkv8 tree routes on its OWN planner (i8_pallas), not
-    the bf16 kernels' VMEM gates. Emulates vit_base at img >= 384 on the
-    real 'pallas' backend — fused_attn supported()/qblocked_supported()
-    both reject, the int8 attention planner rejects too — and asserts the
-    N-independent row-tiled int8 MLP kernel STILL runs (previously the
-    whole block silently fell back to full-dequant XLA, losing the
-    composite path's int8 MLP speedup)."""
-    from mfvit_tpu.ops import fused_attn
+    the bf16 kernels' VMEM gates. Emulates a config where the bf16 gates
+    AND the int8 attention planner AND the query-blocked kernel all
+    reject (vit_base at img >= 512) on the real 'pallas' backend, and
+    asserts the N-independent row-tiled int8 MLP kernel STILL runs
+    (previously the whole block silently fell back to full-dequant XLA,
+    losing the composite path's int8 MLP speedup)."""
     from mfvit_tpu.ops import fused_int8 as fi8
     cfg = vit.ViTConfig("t8g", img_size=32, patch=16, dim=64, depth=2,
                         heads=2)
@@ -184,16 +195,16 @@ def test_int8_kernels_survive_bf16_vmem_gate(rng, monkeypatch):
     qparams = fi8.quantize_vit_for_serving(params)
     img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
     # composite reference on the interpret backend (bf16 gates can't fire
-    # there, so only the attention seam is forced)
+    # there, so the attention seams are forced): tier-3 XLA dequant
     monkeypatch.setattr(fi8, "attn_kernel_ok",
                         lambda N, D, heads, interp: False)
+    monkeypatch.setattr(vit, "qblocked_supported",
+                        lambda N, D, heads: False)
     comp = np.asarray(vit.apply(qparams, img, cfg,
                                 compute_dtype=jnp.float32,
                                 attn_backend="pallas_interpret"))
-    # the vit_base@384 situation: non-interpret backend, bf16 gates reject
+    # the vit_base@512 situation: non-interpret backend, bf16 gates reject
     monkeypatch.setattr(vit, "fused_attn_supported",
-                        lambda N, D, heads: False)
-    monkeypatch.setattr(fused_attn, "qblocked_supported",
                         lambda N, D, heads: False)
     calls = []
     orig_mlp = fi8.fused_mlp_block_i8

@@ -3,7 +3,12 @@
 Compiles ``fused_attention_block_i8`` across (N, D, heads, CB) corners and
 prints pass/fail, to calibrate the ``_i8_cb`` planning budget the same way
 the bf16 kernel's ``_fwd_cb`` budget was calibrated (docs/PERF.md "Budget
-calibrated on-chip"). Run: ``./tools_tpurun.sh tools/calibrate_i8_attn.py``.
+calibrated on-chip"). Probes run 2-step grids; scoped VMEM grows with
+grid length (docs/PERF.md round-5), so corners near the budget edge must
+also pass the production-batch probes in
+``tools/calibrate_qblocked_bigbatch.py`` (its ``probe_i8`` section —
+577/384/6 @ CB=1, the largest accepted est, passed at B=64).
+Run: ``./tools_tpurun.sh tools/calibrate_i8_attn.py``.
 """
 import traceback
 
@@ -15,7 +20,11 @@ from mfvit_tpu.ops import fused_int8 as fi8
 
 def probe(N, D, heads, CB):
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (CB, N, D), jnp.bfloat16)
+    # B = 2*CB so the grid has 2 steps: single-step grids skip Mosaic's
+    # io double-buffering and UNDER-measure by one in+out tile pair vs
+    # the real batched compile (caught by the qblocked calibration,
+    # docs/PERF.md round-5)
+    x = jax.random.normal(key, (2 * CB, N, D), jnp.bfloat16)
     ln = jnp.ones((D,), jnp.float32)
     w = fi8.quantize_weight_cols(jax.random.normal(key, (D, 3 * D)) * 0.02)
     p = fi8.quantize_weight_cols(jax.random.normal(key, (D, D)) * 0.02)
